@@ -1,0 +1,151 @@
+"""Search execution: jitted device programs for flat, fixed-nprobe, and
+adaptive (APS) scans.
+
+TPU-native replacement for the reference QueryCoordinator
+(src/cpp/src/query_coordinator.cpp). The three host scan modes (serial /
+batched-serial / worker pool, :659-673) collapse into batched device programs:
+the batch dimension is native, so query grouping and per-core job queues are
+unnecessary. APS early termination — a host polling loop in the reference
+(:383-430) — becomes a `lax.while_loop` over ranked partition chunks with a
+per-query active mask; the device-side recall estimate (geometry.py) decides
+continuation, preserving the reference's semantics: stop once the cumulative
+probability of scanned partitions exceeds the recall target (:416-424).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from quake_tpu import geometry
+from quake_tpu.ops.scan import NEG_INF, flat_scan, ivf_scan, merge_topk, topk_from_scores
+
+
+@functools.partial(jax.jit, static_argnames=("k", "metric", "chunk_size"))
+def flat_search(codes, ids, q, k: int, metric: str, chunk_size: int = 16384):
+    """Scan every slot of the store (flat index / parent centroid index;
+    query_coordinator.cpp:624-626). codes [P, C, D], ids [P, C]."""
+    P, C, D = codes.shape
+    return flat_scan(q, codes.reshape(P * C, D), ids.reshape(P * C), k, metric, chunk_size)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "metric"))
+def ivf_search(codes, ids, q, pids, k: int, metric: str):
+    """Fixed-nprobe scan of per-query probed partitions (batched_serial_scan
+    analog, query_coordinator.cpp:675-799)."""
+    sizes = None  # slot validity comes from ids >= 0
+    return ivf_scan(q, pids, codes, ids, sizes, k, metric)
+
+
+def _scan_rank(q, q_sq, pid_col, codes, ids, k: int, metric: str):
+    """Scan one probe-rank column: gather each query's partition and compute
+    masked scores. pid_col [B] (-1 = skip)."""
+    valid = pid_col >= 0
+    p = jnp.where(valid, pid_col, 0)
+    slab = codes[p]  # [B, C, D]
+    sids = ids[p]  # [B, C]
+    prod = jax.lax.dot_general(
+        slab, q,
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
+    if metric == "l2":
+        slab_f = slab.astype(jnp.float32)
+        slab_sq = jnp.sum(slab_f * slab_f, axis=2)
+        scores = 2.0 * prod - q_sq[:, None] - slab_sq
+    else:
+        scores = prod
+    slot_ok = (sids >= 0) & valid[:, None]
+    scores = jnp.where(slot_ok, scores, NEG_INF)
+    return topk_from_scores(scores, sids, min(k, scores.shape[1]))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "metric", "dimension", "chunk", "use_precomputed"),
+)
+def aps_search(
+    codes,
+    ids,
+    centroids,
+    q,
+    pids,
+    recall_target,
+    recompute_threshold,
+    k: int,
+    metric: str,
+    dimension: int,
+    chunk: int = 2,
+    use_precomputed: bool = True,
+):
+    """Adaptive partition scan with recall-target early termination.
+
+    pids: [B, M] candidate partitions in rank order (nearest centroid first,
+    -1 = pad) — the initial_search_fraction set from the parent search
+    (query_coordinator.cpp:636-641). Scans `chunk` ranked partitions per
+    while-loop step; queries whose estimated cumulative recall passes the
+    target go inactive (their remaining chunk scans are masked out).
+
+    Returns (scores [B,k], ids [B,k], partitions_scanned [B]).
+    """
+    B, D = q.shape
+    M = pids.shape[1]
+    n_chunks = -(-M // chunk)
+    pad = n_chunks * chunk - M
+    pids_p = jnp.pad(pids, ((0, 0), (0, pad)), constant_values=-1)
+
+    q = q.astype(codes.dtype)
+    q_sq = jnp.sum(q.astype(jnp.float32) ** 2, axis=1)
+    valid = pids >= 0
+    cents = centroids[jnp.where(valid, pids, 0)]  # [B, M, D]
+    boundary = geometry.boundary_distances(q.astype(jnp.float32), cents, metric)
+    boundary = jnp.where(valid, boundary, jnp.inf).at[:, 0].set(boundary[:, 0])
+    table = geometry.beta_table(dimension, metric) if use_precomputed else None
+    rank_idx = jnp.arange(M, dtype=jnp.int32)[None, :]
+
+    init = (
+        jnp.int32(0),
+        jnp.full((B, k), NEG_INF, jnp.float32),  # top scores
+        jnp.full((B, k), -1, jnp.int32),  # top ids
+        jnp.full((B,), 1.0e6, jnp.float32),  # query radius (serial_scan :523)
+        jnp.zeros((B, M), jnp.float32),  # recall profile
+        jnp.ones((B,), jnp.bool_),  # active mask
+        jnp.zeros((B,), jnp.int32),  # partitions actually scanned
+    )
+
+    def cond(state):
+        i, _, _, _, _, active, _ = state
+        return (i < n_chunks) & jnp.any(active)
+
+    def body(state):
+        i, scores, sids, radius, probs, active, scanned = state
+        pid_chunk = lax.dynamic_slice(pids_p, (0, i * chunk), (B, chunk))
+        eff = jnp.where(active[:, None], pid_chunk, -1)
+        n_new = jnp.sum((eff >= 0).astype(jnp.int32), axis=1)
+        for c in range(chunk):
+            s, si = _scan_rank(q, q_sq, eff[:, c], codes, ids, k, metric)
+            scores, sids = merge_topk(scores, sids, s, si, k)
+
+        kth = scores[:, k - 1]
+        if metric == "l2":
+            radius_new = jnp.sqrt(jnp.maximum(-kth, 0.0))
+        else:
+            radius_new = jnp.arccos(jnp.clip(kth, -1.0, 1.0))
+        rel = jnp.abs(radius_new - radius) / jnp.maximum(jnp.abs(radius_new), 1e-30)
+        recompute = (rel > recompute_threshold) & active
+        probs_new = geometry.recall_profile(
+            boundary, radius_new, dimension, metric, use_precomputed, table, valid
+        )
+        probs = jnp.where(recompute[:, None], probs_new, probs)
+        radius = jnp.where(recompute, radius_new, radius)
+
+        ranks_scanned = jnp.minimum((i + 1) * chunk, M)
+        cum = jnp.sum(jnp.where(rank_idx < ranks_scanned, probs, 0.0), axis=1)
+        active = active & (cum < recall_target)
+        return (i + 1, scores, sids, radius, probs, active, scanned + n_new)
+
+    _, scores, sids, _, _, _, scanned = lax.while_loop(cond, body, init)
+    return scores, sids, scanned

@@ -1,0 +1,148 @@
+"""APS recall-estimation geometry, vectorized over query batches.
+
+TPU-native port of the reference's hyperspherical-cap recall model
+(src/cpp/include/geometry.h). The regularized incomplete beta function — which
+the reference evaluates with Lentz continued fractions (geometry.h:115-161) —
+is `jax.scipy.special.betainc`; the 1001-entry precomputed lookup table
+(geometry.h:163-211) becomes a device-resident constant array with linear
+interpolation, selected by SearchParams.use_precomputed.
+
+Semantics preserved (geometry.h:345-407):
+  * boundary distance of the rank-0 (nearest) centroid is a placeholder; its
+    probability is set to 2x the rank-1 probability before normalization.
+  * partitions whose boundary is beyond the query radius get probability 0.
+  * the profile is normalized to sum to 1 (uniform fallback when all-zero).
+
+Deviation (documented): for IP the reference feeds the raw k-th inner-product
+score into a formula expecting an angle (query_coordinator.cpp:557 with
+geometry.h:287). We convert the score to an angle with acos(clip(score,-1,1)),
+which is the geometrically meaningful radius on the hypersphere.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.scipy.special import betainc
+
+NUM_X_VALUES = 1001  # geometry.h:7
+
+
+@functools.lru_cache(maxsize=None)
+def beta_table(dimension: int, metric: str = "l2"):
+    """Precomputed I_x(a, 1/2) on a 1001-point grid (geometry.h:163-179)."""
+    if metric == "l2":
+        a = (dimension + 1.0) / 2.0
+    else:
+        a = (dimension - 1.0) / 2.0
+    x = jnp.linspace(0.0, 1.0, NUM_X_VALUES, dtype=jnp.float32)
+    return betainc(jnp.float32(a), jnp.float32(0.5), x)
+
+
+def beta_lookup(x, table):
+    """Linear interpolation into the precomputed table (geometry.h:181-211)."""
+    x = jnp.clip(x, 0.0, 1.0)
+    scaled = x * (NUM_X_VALUES - 1)
+    idx = jnp.clip(scaled.astype(jnp.int32), 0, NUM_X_VALUES - 2)
+    frac = scaled - idx.astype(scaled.dtype)
+    y1 = table[idx]
+    y2 = table[idx + 1]
+    return y1 + frac * (y2 - y1)
+
+
+def boundary_distances(q, cents, metric: str = "l2"):
+    """Distance from each query to the Voronoi bisector between its nearest
+    centroid and each other candidate centroid (geometry.h:57-113).
+
+    q: [B, D]; cents: [B, M, D] candidate centroids in rank order (rank 0 =
+    nearest). Returns [B, M] f32; column 0 is a -1 placeholder. Padded
+    candidates (marked by `valid`=False) get +inf so they never contribute.
+    """
+    c0 = cents[:, 0, :]  # nearest centroid per query
+    if metric == "l2":
+        r = (q - c0)[:, None, :]  # [B, 1, D]
+        v = cents - c0[:, None, :]  # [B, M, D]
+        a2 = jnp.sum(v * v, axis=2)  # [B, M]
+        a = jnp.sqrt(jnp.maximum(a2, 1e-30))
+        dot = jnp.sum(r * v, axis=2)
+        d = jnp.abs(dot - 0.5 * a2) / a
+    else:
+        mid = 0.5 * (cents + c0[:, None, :])
+        norm = jnp.sqrt(jnp.maximum(jnp.sum(mid * mid, axis=2), 1e-30))
+        cosang = jnp.sum(q[:, None, :] * mid, axis=2) / norm
+        d = jnp.arccos(jnp.clip(cosang, -1.0, 1.0))
+    return d.at[:, 0].set(-1.0)
+
+
+def log_cap_volume_ratio(radius, boundary, dimension: int, metric: str = "l2",
+                         use_precomputed: bool = True, table=None):
+    """log of (cap volume / sphere volume) (geometry.h:247-295), batched.
+
+    radius: [B] or [B, 1]; boundary: [B, M]. Returns [B, M] log-ratios
+    (-inf where the cap is empty).
+    """
+    R = radius if radius.ndim == 2 else radius[:, None]
+    if metric == "l2":
+        h = jnp.clip(R - boundary, 0.0, 2.0 * R)
+        Rsafe = jnp.maximum(R, 1e-30)
+        x = jnp.sqrt(jnp.clip((2.0 * Rsafe * h - h * h) / (Rsafe * Rsafe), 0.0, 1.0))
+        if use_precomputed:
+            tbl = table if table is not None else beta_table(dimension, "l2")
+            inc = beta_lookup(x, tbl)
+        else:
+            a = jnp.float32((dimension + 1.0) / 2.0)
+            inc = betainc(a, jnp.float32(0.5), x)
+        return jnp.log(0.5) + jnp.log(jnp.maximum(inc, 1e-38))
+    else:
+        a = jnp.float32((dimension - 1.0) / 2.0)
+        sr = jnp.sin(R / 2.0) ** 2
+        sb = jnp.sin(boundary / 2.0) ** 2
+        li_r = jnp.log(jnp.maximum(betainc(a, jnp.float32(0.5), jnp.clip(sr, 0.0, 1.0)), 1e-38))
+        li_b = jnp.log(jnp.maximum(betainc(a, jnp.float32(0.5), jnp.clip(sb, 0.0, 1.0)), 1e-38))
+        return jnp.log(0.5) + li_r - li_b
+
+
+def recall_profile(boundary, radius, dimension: int, metric: str = "l2",
+                   use_precomputed: bool = True, table=None, valid=None):
+    """Per-partition probability that the true NN lies in each candidate
+    partition (geometry.h:345-407), batched over queries.
+
+    boundary: [B, M] (rank order, col 0 placeholder); radius: [B];
+    valid: optional [B, M] bool marking real (non-padded) candidates.
+    Returns probs [B, M] summing to 1 per query.
+
+    Where the radius is not yet finite (top-k buffer not full), all
+    probabilities are 0 so the caller keeps scanning — a safety improvement
+    over the reference's uniform-profile behavior in that corner.
+    """
+    B, M = boundary.shape
+    R = radius[:, None]
+    logv = log_cap_volume_ratio(radius, boundary, dimension, metric,
+                                use_precomputed, table)
+    p = jnp.exp(logv)
+    p = jnp.where(boundary < R, p, 0.0)
+    if valid is not None:
+        p = jnp.where(valid, p, 0.0)
+    p = jnp.where(jnp.isfinite(R) & (R > 0), p, 0.0)
+    # Heuristic for the nearest partition (geometry.h:379).
+    p = p.at[:, 0].set(2.0 * p[:, 1])
+    s = jnp.sum(p, axis=1, keepdims=True)
+    if valid is not None:
+        n_valid = jnp.maximum(jnp.sum(valid, axis=1, keepdims=True), 1)
+        uniform = jnp.where(valid, 1.0 / n_valid, 0.0)
+    else:
+        uniform = jnp.full_like(p, 1.0 / M)
+    finite_r = jnp.isfinite(R) & (R > 0)
+    fallback = jnp.where(finite_r, uniform, jnp.zeros_like(p))
+    return jnp.where(s > 0, p / jnp.maximum(s, 1e-38), fallback)
+
+
+def estimate_overlap(new_centroid, old_centroid, nbr_centroids):
+    """Relative boundary shift toward each neighbor after a centroid moves
+    (geometry.h:419-471). Used by maintenance refinement heuristics."""
+    old_b = 0.5 * jnp.linalg.norm(nbr_centroids - old_centroid[None, :], axis=1)
+    new_b = 0.5 * jnp.linalg.norm(nbr_centroids - new_centroid[None, :], axis=1)
+    mean_old = jnp.maximum(jnp.mean(old_b), 1e-30)
+    return jnp.abs(new_b - old_b) / mean_old

@@ -1,0 +1,407 @@
+"""QuakeIndex: the top-level dynamic, query-adaptive ANN index.
+
+TPU-native equivalent of the reference orchestrator
+(src/cpp/include/quake_index.h:18-142, src/cpp/src/quake_index.cpp:29-288):
+a recursive two-level structure — `parent` is a QuakeIndex over the partition
+centroids (quake_index.cpp:56-61), flat mode when nlist <= 1 (:68-79) — with
+build/search/add/remove/get/maintenance/save/load.
+
+Compute runs as jitted XLA/Pallas programs over the padded partition store;
+this class is the host-side control plane (validation, id bookkeeping,
+recursion, persistence, timing).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from quake_tpu import coordinator
+from quake_tpu.kmeans import kmeans_fit_assign
+from quake_tpu.ops.scan import scores_to_distances
+from quake_tpu.params import IndexBuildParams, MaintenancePolicyParams, SearchParams, check_metric
+from quake_tpu.storage.store import PartitionStore
+from quake_tpu.timing import (
+    BuildTimingInfo,
+    MaintenanceTimingInfo,
+    ModifyTimingInfo,
+    SearchResult,
+    SearchTimingInfo,
+)
+from quake_tpu.utils import next_pow2, to_f32, to_i64
+
+INT32_MAX = np.iinfo(np.int32).max
+
+SERIALIZATION_VERSION = 1
+
+
+def _now_us() -> int:
+    return int(time.perf_counter() * 1e6)
+
+
+def _now_ns() -> int:
+    return int(time.perf_counter() * 1e9)
+
+
+class QuakeIndex:
+    """Dynamic IVF index with adaptive search and cost-based maintenance."""
+
+    def __init__(self, level: int = 0):
+        self.level = level
+        self.metric: str = "l2"
+        self.store: Optional[PartitionStore] = None
+        self.parent: Optional["QuakeIndex"] = None
+        self.build_params: Optional[IndexBuildParams] = None
+        self.maintenance_policy = None  # set by initialize_maintenance_policy
+        self._nprobe_bucket = 8  # pow2 padding for probe lists
+
+    # ------------------------------------------------------------------ build
+
+    def build(self, x, ids=None, build_params: Optional[IndexBuildParams] = None) -> BuildTimingInfo:
+        """Build the index (quake_index.cpp:29-90)."""
+        t0 = _now_us()
+        bp = build_params or IndexBuildParams()
+        self.build_params = bp
+        self.metric = check_metric(bp.metric)
+
+        x = to_f32(x)
+        n, d = x.shape
+        if bp.dimension and bp.dimension != d:
+            raise ValueError(f"dimension mismatch: params say {bp.dimension}, data is {d}")
+        bp.dimension = d
+        if ids is None:
+            ids = np.arange(n, dtype=np.int64)
+        ids = to_i64(ids)
+        if ids.shape[0] != n:
+            raise ValueError("ids length must match number of vectors")
+        self._validate_new_ids(ids, check_resident=False)
+
+        self.store = PartitionStore(d, dtype=jnp.bfloat16 if bp.precision == "bf16" else jnp.float32)
+
+        timing = BuildTimingInfo(n_vectors=n, n_clusters=max(bp.nlist, 1), d=d)
+        if bp.nlist > 1:
+            t_train = _now_us()
+            centroids, assignments = kmeans_fit_assign(
+                jnp.asarray(x), bp.nlist, metric=self.metric, niter=bp.niter
+            )
+            centroids_np = np.asarray(centroids)
+            assigns_np = np.asarray(assignments)
+            timing.train_time_us = _now_us() - t_train
+
+            t_assign = _now_us()
+            self.store.init_from_assignments(x, ids, centroids_np, assigns_np)
+            timing.assign_time_us = _now_us() - t_assign
+
+            # Recursive parent over the centroids (quake_index.cpp:57-61).
+            parent_bp = bp.parent_params or IndexBuildParams(metric=bp.metric, nlist=0)
+            parent_bp.metric = bp.metric
+            self.parent = QuakeIndex(level=self.level + 1)
+            self.parent.build(centroids_np, np.arange(bp.nlist, dtype=np.int64), parent_bp)
+        else:
+            # Flat: one partition holding everything (quake_index.cpp:68-79).
+            self.store.init_single_partition(x, ids)
+
+        self.initialize_maintenance_policy(MaintenancePolicyParams())
+        timing.total_time_us = _now_us() - t0
+        return timing
+
+    def initialize_maintenance_policy(self, params: MaintenancePolicyParams):
+        """quake_index.cpp:148-155. Only IVF (parented) indexes get a policy."""
+        if self.parent is not None:
+            from quake_tpu.maintenance.policy import MaintenancePolicy
+
+            self.maintenance_policy = MaintenancePolicy(self, params)
+
+    # ----------------------------------------------------------------- search
+
+    def search(self, x, search_params: Optional[SearchParams] = None) -> SearchResult:
+        """Top-k search (quake_index.cpp:93-99, query_coordinator.cpp:612-657)."""
+        t0 = _now_ns()
+        sp = search_params or SearchParams()
+        x = to_f32(x)
+        if x.ndim == 1:
+            x = x[None, :]
+        if x.shape[1] != self.d():
+            raise ValueError(
+                f"query dimension {x.shape[1]} != index dimension {self.d()}"
+            )
+        q = jnp.asarray(x)
+
+        scores, ids32, timing = self._search_device(q, sp)
+        ids_np = np.asarray(ids32).astype(np.int64)
+        dists_np = np.asarray(scores_to_distances(scores, ids32, self.metric))
+        timing.total_time_ns = _now_ns() - t0
+        return SearchResult(ids=ids_np, distances=dists_np, timing_info=timing)
+
+    def _search_device(self, q, sp: SearchParams):
+        """Device-resident search; returns (scores, int32 ids, timing)."""
+        timing = SearchTimingInfo(
+            n_queries=int(q.shape[0]), n_clusters=self.nlist(), search_params=sp
+        )
+        k = max(int(sp.k), 1)
+        state = self.store.state
+
+        if self.parent is None:
+            scores, ids32 = coordinator.flat_search(state.codes, state.ids, q, k, self.metric)
+            timing.partitions_scanned = self.nlist()
+            return scores, ids32, timing
+
+        # Parent search for candidate partitions (query_coordinator.cpp:628-646).
+        use_aps = sp.recall_target > 0.0
+        if use_aps:
+            parent_k = max(int(self.nlist() * sp.initial_search_fraction), 1)
+        else:
+            parent_k = min(int(sp.nprobe), self.nlist())
+        parent_k_padded = min(next_pow2(parent_k, self._nprobe_bucket), self.parent_ntotal())
+        parent_sp = SearchParams(k=parent_k_padded, batched_scan=True)
+        t1 = _now_ns()
+        p_scores, p_ids32, p_timing = self.parent._search_device(q, parent_sp)
+        timing.parent_info = p_timing
+        timing.job_enqueue_time_ns = _now_ns() - t1
+
+        # Trim padding back to the true candidate count.
+        pids = p_ids32[:, :parent_k] if parent_k < p_ids32.shape[1] else p_ids32
+
+        if use_aps:
+            scores, ids32, scanned = coordinator.aps_search(
+                state.codes,
+                state.ids,
+                state.centroids,
+                q,
+                pids,
+                jnp.float32(sp.recall_target),
+                jnp.float32(sp.recompute_threshold),
+                k=k,
+                metric=self.metric,
+                dimension=self.d(),
+                chunk=max(int(sp.aps_chunk_size), 1),
+                use_precomputed=bool(sp.use_precomputed),
+            )
+            timing.partitions_scanned = int(np.asarray(scanned).mean()) if scanned.size else 0
+            self._record_hits(pids, scanned)
+        else:
+            scores, ids32, scanned = coordinator.ivf_search(
+                state.codes, state.ids, q, pids, k, self.metric
+            )
+            timing.partitions_scanned = parent_k
+            self._record_hits(pids, scanned)
+        return scores, ids32, timing
+
+    def _record_hits(self, pids, scanned):
+        """Feed the maintenance hit window (fixes the reference's unwired
+        record_query_hits — SURVEY §2.1 MaintenancePolicy note)."""
+        if self.maintenance_policy is not None:
+            self.maintenance_policy.record_query_hits_device(pids, scanned)
+
+    # ----------------------------------------------------------------- modify
+
+    def _validate_new_ids(self, ids: np.ndarray, check_resident: bool = True):
+        """partition_manager.cpp:163-184: unique, in-range, not resident."""
+        if ids.size == 0:
+            return
+        if ids.min() < 0:
+            raise ValueError("vector ids must be non-negative")
+        if ids.max() >= INT32_MAX:
+            raise ValueError("vector ids must be < INT32_MAX")
+        uniq = np.unique(ids)
+        if uniq.size != ids.size:
+            raise ValueError("duplicate ids in input")
+        if check_resident and self.store is not None:
+            id_map = self.store.id_to_row
+            dup = [int(v) for v in ids.tolist() if int(v) in id_map]
+            if dup:
+                raise ValueError(f"ids already in index (e.g. {dup[:5]})")
+
+    def add(self, x, ids) -> ModifyTimingInfo:
+        """Insert vectors (quake_index.cpp:122-130, partition_manager.cpp:123-262)."""
+        timing = ModifyTimingInfo()
+        t0 = _now_us()
+        x = to_f32(x)
+        if x.ndim == 1:
+            x = x[None, :]
+        ids = to_i64(ids)
+        timing.n_vectors = x.shape[0]
+        self._validate_new_ids(ids)
+        timing.input_validation_time_us = _now_us() - t0
+
+        t1 = _now_us()
+        if self.parent is not None:
+            # Exact 1-NN assignment via parent (partition_manager.cpp:219-231).
+            sp = SearchParams(k=1, nprobe=self.parent.nlist(), batched_scan=True)
+            _, rows32, _ = self.parent._search_device(jnp.asarray(x), sp)
+            rows = np.asarray(rows32)[:, 0].astype(np.int32)
+        else:
+            rows = np.zeros(x.shape[0], dtype=np.int32)
+        timing.find_partition_time_us = _now_us() - t1
+
+        t2 = _now_us()
+        self.store.append(rows, x, ids)
+        timing.modify_time_us = _now_us() - t2
+        return timing
+
+    def remove(self, ids) -> ModifyTimingInfo:
+        """Remove by id (quake_index.cpp:132-140). Unlike the reference's
+        O(ntotal) scan (dynamic_inverted_list.cpp:137-149), removal routes to
+        only the affected partitions via the resident-id map."""
+        timing = ModifyTimingInfo()
+        t0 = _now_us()
+        ids = to_i64(ids)
+        timing.n_vectors = ids.shape[0]
+        t1 = _now_us()
+        self.store.remove(ids)
+        timing.modify_time_us = _now_us() - t1
+        timing.input_validation_time_us = t1 - t0
+        return timing
+
+    def modify(self, ids, x) -> ModifyTimingInfo:
+        """Overwrite existing vectors in place (quake_index.h modify). The
+        maintenance path uses this to update parent centroids after
+        refinement (partition_manager.cpp:478)."""
+        timing = ModifyTimingInfo()
+        t0 = _now_us()
+        ids = to_i64(ids)
+        x = to_f32(x)
+        timing.n_vectors = ids.shape[0]
+        self.store.update_vectors(ids, x)
+        # Keep the child-store centroid copy in sync when this index is a
+        # parent over partition centroids: handled by the caller (policy).
+        timing.modify_time_us = _now_us() - t0
+        return timing
+
+    def get(self, ids) -> np.ndarray:
+        """Fetch vectors by id (quake_index.h get)."""
+        vecs, found = self.store.get_vectors(to_i64(ids))
+        if not found.all():
+            missing = to_i64(ids)[~found][:5]
+            raise KeyError(f"ids not in index (e.g. {missing.tolist()})")
+        return vecs
+
+    def get_ids(self) -> np.ndarray:
+        return self.store.get_ids()
+
+    # ------------------------------------------------------------ maintenance
+
+    def maintenance(self) -> MaintenanceTimingInfo:
+        """Cost-based split/delete + local refinement (quake_index.cpp:157-163)."""
+        if self.maintenance_policy is None:
+            return MaintenanceTimingInfo()
+        return self.maintenance_policy.perform_maintenance()
+
+    # ------------------------------------------------------------ persistence
+
+    def save(self, path: str):
+        """Directory save: metadata.json + arrays + recursive parent/
+        (quake_index.cpp:170-206)."""
+        os.makedirs(path, exist_ok=True)
+        state = self.store.state
+        meta = {
+            "version": SERIALIZATION_VERSION,
+            "metric": self.metric,
+            "level": self.level,
+            "dimension": self.d(),
+            "ntotal": self.ntotal(),
+            "nlist": self.nlist(),
+            "precision": "bf16" if state.codes.dtype == jnp.bfloat16 else "f32",
+            "has_parent": self.parent is not None,
+            "free_rows": self.store.free_rows,
+        }
+        with open(os.path.join(path, "metadata.json"), "w") as f:
+            json.dump(meta, f)
+        np.save(os.path.join(path, "codes.npy"), np.asarray(state.codes, dtype=np.float32))
+        np.save(os.path.join(path, "ids.npy"), np.asarray(state.ids))
+        np.save(os.path.join(path, "sizes.npy"), np.asarray(state.sizes))
+        np.save(os.path.join(path, "centroids.npy"), np.asarray(state.centroids))
+        np.save(os.path.join(path, "active.npy"), np.asarray(state.active))
+        np.save(os.path.join(path, "generation.npy"), self.store.generation)
+        if self.parent is not None:
+            self.parent.save(os.path.join(path, "parent"))
+
+    def load(self, path: str, n_workers: int = 0):
+        """Load a saved index (quake_index.cpp:208-267)."""
+        with open(os.path.join(path, "metadata.json")) as f:
+            meta = json.load(f)
+        if meta["version"] != SERIALIZATION_VERSION:
+            raise ValueError(f"unsupported serialization version {meta['version']}")
+        self.metric = meta["metric"]
+        self.level = meta["level"]
+        dtype = jnp.bfloat16 if meta.get("precision") == "bf16" else jnp.float32
+
+        from quake_tpu.storage.store import StoreState
+
+        codes = np.load(os.path.join(path, "codes.npy"))
+        ids = np.load(os.path.join(path, "ids.npy"))
+        sizes = np.load(os.path.join(path, "sizes.npy"))
+        centroids = np.load(os.path.join(path, "centroids.npy"))
+        active = np.load(os.path.join(path, "active.npy"))
+        self.store = PartitionStore(meta["dimension"], dtype=dtype)
+        self.store.state = StoreState(
+            jnp.asarray(codes, dtype),
+            jnp.asarray(ids),
+            jnp.asarray(sizes),
+            jnp.asarray(centroids),
+            jnp.asarray(active),
+        )
+        self.store.free_rows = list(meta["free_rows"])
+        self.store.generation = np.load(os.path.join(path, "generation.npy"))
+        # Rebuild the resident-id map from stored slots.
+        id_map = {}
+        for r in range(ids.shape[0]):
+            sz = int(sizes[r])
+            for v in ids[r, :sz].tolist():
+                if v >= 0:
+                    id_map[int(v)] = r
+        self.store.id_to_row = id_map
+
+        if meta["has_parent"]:
+            self.parent = QuakeIndex(level=self.level + 1)
+            self.parent.load(os.path.join(path, "parent"))
+        self.build_params = IndexBuildParams(
+            dimension=meta["dimension"], nlist=meta["nlist"], metric=self.metric
+        )
+        # Fresh maintenance policy; hit window is not persisted
+        # (reference behavior: quake_index.cpp:208-267).
+        self.initialize_maintenance_policy(MaintenancePolicyParams())
+        return self
+
+    # ------------------------------------------------------------- inspection
+
+    def ntotal(self) -> int:
+        return self.store.ntotal() if self.store else 0
+
+    def parent_ntotal(self) -> int:
+        return self.parent.ntotal() if self.parent else 0
+
+    def nlist(self) -> int:
+        return self.store.nlist() if self.store else 0
+
+    def d(self) -> int:
+        return self.store.d if self.store else 0
+
+    def centroids(self) -> np.ndarray:
+        """Active partition centroids (wrapper API: index_wrappers/quake.py:188-195)."""
+        if self.parent is None:
+            return np.asarray(self.store.state.centroids)[: self.nlist()]
+        rows = self.store.active_rows()
+        return np.asarray(self.store.state.centroids)[rows]
+
+    def validate(self) -> bool:
+        """Consistency check (quake_index.h validate)."""
+        sizes = np.asarray(self.store.state.sizes)
+        ids = np.asarray(self.store.state.ids)
+        total = 0
+        for r in range(self.store.P):
+            sz = int(sizes[r])
+            if (ids[r, :sz] < 0).any() or (ids[r, sz:] >= 0).any():
+                return False
+            total += sz
+        if total != self.ntotal():
+            return False
+        if self.parent is not None and self.parent.ntotal() != self.nlist():
+            return False
+        return True

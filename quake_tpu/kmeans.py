@@ -1,0 +1,209 @@
+"""TPU-native k-means: Lloyd iterations as matmul + argmin + segment-sum.
+
+Replaces the reference's Faiss-backed clustering (src/cpp/src/clustering.cpp:13-97):
+same semantics — default 5 iterations (common.h:71), spherical normalization for
+inner-product metric during training only (clustering.cpp:25-26), final
+assignment via exact 1-NN against the trained centroids.
+
+The assignment step is chunked over rows with lax.scan so the [n, nlist]
+distance matrix never fully materializes; each chunk is one MXU matmul.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+
+def _pad_rows(x, multiple):
+    n = x.shape[0]
+    pad = (-n) % multiple
+    if pad:
+        x = jnp.pad(x, ((0, pad), (0, 0)))
+    return x, n, pad
+
+
+@functools.partial(jax.jit, static_argnames=("n_clusters", "metric", "niter", "chunk_size"))
+def kmeans_fit_assign(
+    x,
+    n_clusters: int,
+    metric: str = "l2",
+    niter: int = 5,
+    seed: int = 0,
+    chunk_size: int = 65536,
+):
+    """Train k-means and assign. x: [n, d] f32.
+
+    Returns (centroids [n_clusters, d] f32, assignments [n] int32).
+    Empty clusters are re-seeded with a random data point each iteration
+    (the analog of Faiss's empty-cluster splitting).
+    """
+    n, d = x.shape
+    key = jax.random.PRNGKey(seed)
+    k_init, k_empty = jax.random.split(key)
+
+    # Random init without replacement (or with, if n < n_clusters).
+    if n >= n_clusters:
+        perm = jax.random.permutation(k_init, n)[:n_clusters]
+    else:
+        perm = jax.random.randint(k_init, (n_clusters,), 0, max(n, 1))
+    centroids = x[perm].astype(jnp.float32)
+
+    xp, n_real, pad = _pad_rows(x, chunk_size)
+    n_chunks = xp.shape[0] // chunk_size
+    xc = xp.reshape(n_chunks, chunk_size, d)
+    # Row-validity per chunk (padding rows must not contribute).
+    row_idx = jnp.arange(n_chunks * chunk_size).reshape(n_chunks, chunk_size)
+    valid = row_idx < n_real
+
+    x_sq_c = jnp.sum(xc.astype(jnp.float32) ** 2, axis=2)  # [n_chunks, chunk]
+
+    empty_reseed = jax.random.randint(k_empty, (max(niter, 1), n_clusters), 0, max(n_real, 1))
+
+    def assign_chunk(cents, cents_sq, chunk, chunk_sq, chunk_valid):
+        prod = jax.lax.dot_general(
+            chunk, cents,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [chunk, nc]
+        if metric == "l2":
+            scores = 2.0 * prod - chunk_sq[:, None] - cents_sq[None, :]
+        else:
+            scores = prod
+        a = jnp.argmax(scores, axis=1).astype(jnp.int32)
+        return jnp.where(chunk_valid, a, n_clusters)  # padding -> overflow bin
+
+    def lloyd_iter(i, centroids):
+        if metric == "ip":
+            norms = jnp.linalg.norm(centroids, axis=1, keepdims=True)
+            cents = centroids / jnp.maximum(norms, 1e-12)
+        else:
+            cents = centroids
+        cents_sq = jnp.sum(cents * cents, axis=1)
+
+        def body(carry, blk):
+            sums, counts = carry
+            chunk, chunk_sq, chunk_valid = blk
+            a = assign_chunk(cents, cents_sq, chunk, chunk_sq, chunk_valid)
+            sums = sums + jax.ops.segment_sum(
+                chunk.astype(jnp.float32), a, num_segments=n_clusters + 1
+            )
+            counts = counts + jax.ops.segment_sum(
+                jnp.ones((chunk.shape[0],), jnp.float32), a, num_segments=n_clusters + 1
+            )
+            return (sums, counts), None
+
+        init = (
+            jnp.zeros((n_clusters + 1, d), jnp.float32),
+            jnp.zeros((n_clusters + 1,), jnp.float32),
+        )
+        (sums, counts), _ = lax.scan(body, init, (xc, x_sq_c, valid))
+        sums, counts = sums[:n_clusters], counts[:n_clusters]
+        new_c = sums / jnp.maximum(counts[:, None], 1.0)
+        # Keep old centroid where a cluster went empty, then re-seed it with a
+        # random data point (Faiss-style empty cluster handling).
+        empty = counts < 0.5
+        reseed = xp[empty_reseed[i % max(niter, 1)]].astype(jnp.float32)
+        new_c = jnp.where(empty[:, None], reseed, new_c)
+        return new_c
+
+    centroids = lax.fori_loop(0, niter, lloyd_iter, centroids) if niter > 0 else centroids
+
+    # Final exact assignment (clustering.cpp:63-66).
+    if metric == "ip":
+        norms = jnp.linalg.norm(centroids, axis=1, keepdims=True)
+        cents = centroids / jnp.maximum(norms, 1e-12)
+        centroids = cents
+    else:
+        cents = centroids
+    cents_sq = jnp.sum(cents * cents, axis=1)
+
+    def assign_body(_, blk):
+        chunk, chunk_sq, chunk_valid = blk
+        return None, assign_chunk(cents, cents_sq, chunk, chunk_sq, chunk_valid)
+
+    _, assigns = lax.scan(assign_body, None, (xc, x_sq_c, valid))
+    assignments = assigns.reshape(-1)[:n_real]
+    assignments = jnp.minimum(assignments, n_clusters - 1)
+    return centroids, assignments
+
+
+# ---------------------------------------------------------------------------
+# Host-side small-scale clustering (maintenance splits / local refinement).
+# Partition-local work is tiny (<= a few thousand vectors); numpy avoids
+# per-shape recompilation of device programs.
+# ---------------------------------------------------------------------------
+
+
+def kmeans_np(x, ids, n_clusters: int, metric: str = "l2", niter: int = 5, seed: int = 0):
+    """Small host k-means. Returns (centroids [nc, d], [(vecs, ids)] per cluster).
+
+    Mirrors the semantics of reference kmeans (clustering.cpp:13-97) for the
+    2-way split path (partition_manager.cpp:393-445).
+    """
+    x = np.asarray(x, dtype=np.float32)
+    ids = np.asarray(ids, dtype=np.int64)
+    n, d = x.shape
+    rng = np.random.default_rng(seed)
+    if n == 0:
+        cents = np.zeros((n_clusters, d), np.float32)
+        return cents, [(x[:0], ids[:0]) for _ in range(n_clusters)]
+    init = rng.choice(n, size=min(n_clusters, n), replace=False)
+    cents = x[init].copy()
+    if len(init) < n_clusters:
+        cents = np.concatenate([cents, x[rng.integers(0, n, n_clusters - len(init))]])
+    for _ in range(max(niter, 1)):
+        if metric == "ip":
+            cn = cents / np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
+            assign = np.argmax(x @ cn.T, axis=1)
+        else:
+            d2 = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(-1) if n * n_clusters * d < 2**24 \
+                else (x**2).sum(1)[:, None] - 2 * x @ cents.T + (cents**2).sum(1)[None, :]
+            assign = np.argmin(d2, axis=1)
+        for c in range(n_clusters):
+            mask = assign == c
+            if mask.any():
+                cents[c] = x[mask].mean(0)
+            else:
+                cents[c] = x[rng.integers(0, n)]
+    if metric == "ip":
+        cents = cents / np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
+        assign = np.argmax(x @ cents.T, axis=1)
+    else:
+        d2 = (x**2).sum(1)[:, None] - 2 * x @ cents.T + (cents**2).sum(1)[None, :]
+        assign = np.argmin(d2, axis=1)
+    clusters = [(x[assign == c], ids[assign == c]) for c in range(n_clusters)]
+    return cents.astype(np.float32), clusters
+
+
+def lloyd_refine_np(vec_list, id_list, centroids, metric: str = "l2", iterations: int = 3):
+    """Constrained Lloyd refinement among an existing partition neighborhood
+    (reference kmeans_refine_partitions, clustering.cpp:99-182): pool the
+    partitions' vectors, reassign among only these centroids, recompute means.
+
+    Returns (new_centroids, [(vecs, ids)] per input partition slot)."""
+    cents = np.asarray(centroids, dtype=np.float32).copy()
+    m, d = cents.shape
+    x = np.concatenate([np.asarray(v, np.float32).reshape(-1, d) for v in vec_list]) \
+        if vec_list else np.zeros((0, d), np.float32)
+    ids = np.concatenate([np.asarray(i, np.int64) for i in id_list]) \
+        if id_list else np.zeros((0,), np.int64)
+    if x.shape[0] == 0:
+        return cents, [(x[:0], ids[:0]) for _ in range(m)]
+    assign = None
+    for _ in range(max(iterations, 1)):
+        if metric == "ip":
+            assign = np.argmax(x @ cents.T, axis=1)
+        else:
+            d2 = (x**2).sum(1)[:, None] - 2 * x @ cents.T + (cents**2).sum(1)[None, :]
+            assign = np.argmin(d2, axis=1)
+        for c in range(m):
+            mask = assign == c
+            if mask.any():
+                cents[c] = x[mask].mean(0)
+    clusters = [(x[assign == c], ids[assign == c]) for c in range(m)]
+    return cents, clusters

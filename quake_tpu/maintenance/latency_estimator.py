@@ -1,0 +1,154 @@
+"""Partition-scan latency model for maintenance cost estimation.
+
+Mirrors the reference ListScanLatencyEstimator
+(src/cpp/include/maintenance_cost_estimator.h, src/cpp/src/maintenance_cost_estimator.cpp:126-365):
+a grid of measured latencies over n in {1..65536} x k in {1..256}, bilinear
+interpolation inside the grid, linear extrapolation beyond it, CSV save/load.
+
+Two sources for the grid values:
+  * analytic (default): a bandwidth/overhead model of the TPU scan kernel —
+    scanning n rows of d float32 streams n*d*4 bytes from HBM plus a fixed
+    per-partition overhead (SURVEY §7.1: "analytic, or profile real kernel").
+  * profiled: time the real jitted scan kernel on the attached device
+    (`profile_scan_latency`), like the reference's empirical grid
+    (maintenance_cost_estimator.cpp:59-94).
+"""
+
+from __future__ import annotations
+
+import csv
+import os
+import time
+
+import numpy as np
+
+from quake_tpu.params import (
+    DEFAULT_LATENCY_ESTIMATOR_NTRIALS,
+    DEFAULT_LATENCY_ESTIMATOR_RANGE_K,
+    DEFAULT_LATENCY_ESTIMATOR_RANGE_N,
+)
+
+# Analytic model constants (ns). Calibrated against TPU v5e HBM bandwidth
+# (~800 GB/s) with a per-partition gather/dispatch overhead.
+_HBM_GBPS = 800.0
+_PARTITION_OVERHEAD_NS = 500.0
+_PER_K_NS = 2.0
+
+
+class ListScanLatencyEstimator:
+    def __init__(
+        self,
+        d: int,
+        n_values=None,
+        k_values=None,
+        n_trials: int = DEFAULT_LATENCY_ESTIMATOR_NTRIALS,
+        adaptive_nprobe: bool = False,
+    ):
+        self.d = int(d)
+        self.n_values = list(n_values or DEFAULT_LATENCY_ESTIMATOR_RANGE_N)
+        self.k_values = list(k_values or DEFAULT_LATENCY_ESTIMATOR_RANGE_K)
+        self.n_trials = int(n_trials)
+        self.latency_grid = self._analytic_grid()
+
+    # -- grid construction -----------------------------------------------------
+
+    def _analytic_latency(self, n: float, k: float) -> float:
+        bytes_streamed = n * self.d * 4.0
+        return _PARTITION_OVERHEAD_NS + bytes_streamed / _HBM_GBPS + k * _PER_K_NS
+
+    def _analytic_grid(self) -> np.ndarray:
+        grid = np.zeros((len(self.n_values), len(self.k_values)), dtype=np.float64)
+        for i, n in enumerate(self.n_values):
+            for j, k in enumerate(self.k_values):
+                grid[i, j] = self._analytic_latency(n, k)
+        return grid
+
+    def profile_scan_latency(self):
+        """Measure the real jitted scan kernel over the grid
+        (maintenance_cost_estimator.cpp:59-94)."""
+        import jax
+        import jax.numpy as jnp
+
+        from quake_tpu.ops.scan import flat_scan
+
+        for i, n in enumerate(self.n_values):
+            codes = jnp.asarray(np.random.randn(n, self.d).astype(np.float32))
+            ids = jnp.arange(n, dtype=jnp.int32)
+            q = jnp.asarray(np.random.randn(1, self.d).astype(np.float32))
+            for j, k in enumerate(self.k_values):
+                kk = min(k, n)
+                fn = jax.jit(lambda q, c, i_: flat_scan(q, c, i_, kk, "l2"))
+                jax.block_until_ready(fn(q, codes, ids))  # compile
+                t0 = time.perf_counter()
+                for _ in range(self.n_trials):
+                    jax.block_until_ready(fn(q, codes, ids))
+                self.latency_grid[i, j] = (
+                    (time.perf_counter() - t0) / self.n_trials * 1e9
+                )
+
+    # -- estimation ------------------------------------------------------------
+
+    def estimate_scan_latency(self, n: float, k: float) -> float:
+        """Bilinear interpolation in the grid; linear extrapolation beyond
+        (maintenance_cost_estimator.cpp:126-253)."""
+        n = max(float(n), float(self.n_values[0]))
+        k = max(float(k), float(self.k_values[0]))
+        nv, kv = self.n_values, self.k_values
+
+        def bracket(vals, x):
+            if x >= vals[-1]:
+                return len(vals) - 2, len(vals) - 1
+            lo = 0
+            for idx in range(len(vals) - 1):
+                if vals[idx] <= x:
+                    lo = idx
+                else:
+                    break
+            return lo, lo + 1
+
+        i0, i1 = bracket(nv, n)
+        j0, j1 = bracket(kv, k)
+        n0, n1 = nv[i0], nv[i1]
+        k0, k1 = kv[j0], kv[j1]
+        tn = (n - n0) / (n1 - n0)
+        tk = (k - k0) / (k1 - k0)
+        g = self.latency_grid
+        v = (
+            g[i0, j0] * (1 - tn) * (1 - tk)
+            + g[i1, j0] * tn * (1 - tk)
+            + g[i0, j1] * (1 - tn) * tk
+            + g[i1, j1] * tn * tk
+        )
+        return float(v)
+
+    # -- persistence -------------------------------------------------------------
+
+    def save(self, path: str):
+        """CSV profile cache (maintenance_cost_estimator.cpp:255-365)."""
+        with open(path, "w", newline="") as f:
+            w = csv.writer(f)
+            w.writerow(["d", self.d])
+            w.writerow(["n"] + self.n_values)
+            w.writerow(["k"] + self.k_values)
+            for row in self.latency_grid:
+                w.writerow([f"{v:.6g}" for v in row])
+
+    def load(self, path: str) -> bool:
+        """Load a cached profile; rejects mismatched grids
+        (maintenance_cost_estimator.cpp:255-365, test latency_estimator.cpp:116)."""
+        if not os.path.exists(path):
+            return False
+        with open(path) as f:
+            rows = list(csv.reader(f))
+        if len(rows) < 3:
+            return False
+        d = int(rows[0][1])
+        n_values = [int(v) for v in rows[1][1:]]
+        k_values = [int(v) for v in rows[2][1:]]
+        if d != self.d or n_values != self.n_values or k_values != self.k_values:
+            raise ValueError("latency profile grid mismatch")
+        grid = np.array([[float(v) for v in r] for r in rows[3:]], dtype=np.float64)
+        if grid.shape != (len(self.n_values), len(self.k_values)):
+            raise ValueError("latency profile grid mismatch")
+        self.latency_grid = grid
+        return True

@@ -1,0 +1,239 @@
+"""Cost-based adaptive maintenance: split hot partitions, delete cold ones,
+locally refine the neighborhood.
+
+Port of the reference MaintenancePolicy flow
+(src/cpp/src/maintenance_policies.cpp:33-202):
+  gate on a full hit window -> aggregate per-partition hit rates ->
+  delete_delta / split_delta vs ns thresholds (with delete-rejection via
+  parent reassignment simulation, :77-119) -> execute deletes (with vector
+  reassignment) then splits (2-way k-means each) -> local refinement of the
+  split neighborhood (radius = k-NN of split centroids, :188-202).
+
+Unlike the reference — where record_query_hits is never called from the search
+path (SURVEY §2.1) — the QuakeIndex search path feeds the window
+automatically via record_query_hits_device.
+"""
+
+from __future__ import annotations
+
+import time
+
+import numpy as np
+
+from quake_tpu.kmeans import kmeans_np, lloyd_refine_np
+from quake_tpu.maintenance.cost_estimator import MaintenanceCostEstimator
+from quake_tpu.maintenance.hit_tracker import HitCountTracker
+from quake_tpu.params import MaintenancePolicyParams, SearchParams
+from quake_tpu.timing import MaintenanceTimingInfo
+
+
+def _now_us() -> int:
+    return int(time.perf_counter() * 1e6)
+
+
+class MaintenancePolicy:
+    def __init__(self, index, params: MaintenancePolicyParams):
+        self.index = index
+        self.params = params
+        # k=10 mirrors the reference's hardcoded estimator k
+        # (maintenance_policies.cpp:24-27).
+        self.cost_estimator = MaintenanceCostEstimator(index.d(), params.alpha, 10)
+        self.hit_count_tracker = HitCountTracker(
+            params.window_size, max(index.ntotal(), 1)
+        )
+
+    # -- recording -------------------------------------------------------------
+
+    def record_query_hits(self, partition_ids):
+        """Host-side parity API (maintenance_policies.cpp:179-182)."""
+        pids = np.asarray(partition_ids, dtype=np.int64)
+        sizes = self.index.store.partition_sizes(pids)
+        self.hit_count_tracker.add_query_data(pids, int(sizes.sum()))
+
+    def record_query_hits_device(self, pids_dev, scanned_dev):
+        self.hit_count_tracker.add_batch_device(pids_dev, scanned_dev)
+
+    def reset(self):
+        self.hit_count_tracker.reset()
+
+    # -- the main loop -----------------------------------------------------------
+
+    def perform_maintenance(self) -> MaintenanceTimingInfo:
+        timing = MaintenanceTimingInfo()
+        p = self.params
+        tracker = self.hit_count_tracker
+        if tracker.get_num_queries_recorded() < p.window_size:
+            return timing
+
+        t_total = _now_us()
+        store = self.index.store
+        sizes = store.partition_sizes()
+        per_query_hits = tracker.get_per_query_hits(sizes)
+
+        agg = np.zeros(store.P, dtype=np.int64)
+        for hits in per_query_hits:
+            valid = hits[(hits >= 0) & (hits < store.P)]
+            np.add.at(agg, valid, 1)
+
+        active_rows = store.active_rows()
+        total_partitions = len(active_rows)
+        if total_partitions <= 1:
+            return timing
+        ntotal = self.index.ntotal()
+        avg_size = ntotal / total_partitions
+        scan_fraction = tracker.get_current_scan_fraction()
+
+        to_delete: list[int] = []
+        to_split: list[int] = []
+        for r in active_rows:
+            r = int(r)
+            hit_rate = agg[r] / p.window_size
+            size = int(sizes[r])
+            delete_delta = self.cost_estimator.compute_delete_delta(
+                size, hit_rate, total_partitions, scan_fraction, avg_size
+            )
+            if delete_delta < -p.delete_threshold_ns:
+                if p.enable_delete_rejection and size > p.min_partition_size:
+                    delta = self._delete_delta_with_reassign(
+                        r, size, hit_rate, total_partitions, agg
+                    )
+                    if delta < -p.delete_threshold_ns:
+                        to_delete.append(r)
+                else:
+                    to_delete.append(r)
+            elif size > p.min_partition_size:
+                split_delta = self.cost_estimator.compute_split_delta(
+                    size, hit_rate, total_partitions
+                )
+                if split_delta < -p.split_threshold_ns:
+                    to_split.append(r)
+
+        # Never delete everything.
+        max_del = total_partitions - 1
+        to_delete = to_delete[:max_del]
+
+        t_del = _now_us()
+        if to_delete:
+            self._delete_partitions(to_delete, reassign=True)
+            timing.n_deletes = len(to_delete)
+        timing.delete_time_us = _now_us() - t_del
+
+        t_split = _now_us()
+        new_rows: list[int] = []
+        if to_split:
+            new_rows = self._split_partitions(to_split)
+            timing.n_splits = len(to_split)
+        timing.split_time_us = _now_us() - t_split
+
+        t_refine = _now_us()
+        if new_rows:
+            self.local_refinement(new_rows)
+        timing.split_refine_time_us = _now_us() - t_refine
+
+        tracker.invalidate_rows(to_delete + to_split)
+        timing.total_time_us = _now_us() - t_total
+        return timing
+
+    # -- helpers ------------------------------------------------------------------
+
+    def _delete_delta_with_reassign(self, row, size, hit_rate, total_partitions, agg):
+        """Delete-rejection: simulate reassignment via parent search k=2
+        (maintenance_policies.cpp:77-119)."""
+        import jax.numpy as jnp
+
+        store = self.index.store
+        vecs, _ = store.get_partition(row)
+        if vecs.shape[0] == 0:
+            return -np.inf  # empty partition: always delete
+        sp = SearchParams(k=2, batched_scan=True)
+        _, ids32, _ = self.index.parent._search_device(jnp.asarray(vecs), sp)
+        reassign = np.asarray(ids32).ravel()
+        reassign = reassign[(reassign >= 0) & (reassign != row)]
+        if reassign.size == 0:
+            return 0.0
+        uniques, counts = np.unique(reassign, return_counts=True)
+        sizes = store.partition_sizes(uniques)
+        hit_rates = agg[uniques] / self.params.window_size
+        return self.cost_estimator.compute_delete_delta_w_reassign(
+            size, hit_rate, total_partitions,
+            counts.tolist(), sizes.tolist(), hit_rates.tolist(),
+        )
+
+    def _delete_partitions(self, rows, reassign: bool = True):
+        """partition_manager.cpp:524-554: remove centroids from parent, free
+        the rows, optionally reassign orphaned vectors via add()."""
+        store = self.index.store
+        orphans = []
+        for r in rows:
+            vecs, vids = store.get_partition(int(r))
+            if vecs.shape[0]:
+                orphans.append((vecs, vids))
+        self.index.parent.remove(np.asarray(rows, dtype=np.int64))
+        store.delete_partitions([int(r) for r in rows])
+        if reassign and orphans:
+            vecs = np.concatenate([o[0] for o in orphans])
+            vids = np.concatenate([o[1] for o in orphans])
+            self.index.add(vecs, vids)
+
+    def _split_partitions(self, rows) -> list[int]:
+        """2-way k-means per partition; delete originals, add the halves
+        (partition_manager.cpp:393-445 + maintenance_policies.cpp:150-163)."""
+        store = self.index.store
+        split_cents, split_vecs, split_ids = [], [], []
+        for r in rows:
+            vecs, vids = store.get_partition(int(r))
+            cents, clusters = kmeans_np(vecs, vids, 2, self.index.metric)
+            for j in range(2):
+                split_cents.append(cents[j])
+                split_vecs.append(clusters[j][0])
+                split_ids.append(clusters[j][1])
+        # Delete originals without reassignment; their vectors live on in the halves.
+        self.index.parent.remove(np.asarray(rows, dtype=np.int64))
+        store.delete_partitions([int(r) for r in rows])
+        new_rows = store.allocate_rows(len(split_cents))
+        store.write_partitions(new_rows, split_vecs, split_ids, split_cents)
+        self.index.parent.add(
+            np.asarray(split_cents, dtype=np.float32),
+            np.asarray(new_rows, dtype=np.int64),
+        )
+        return new_rows
+
+    def local_refinement(self, rows):
+        """Refine the k-NN neighborhood of the given (split) partitions
+        (maintenance_policies.cpp:188-202)."""
+        import jax.numpy as jnp
+
+        p = self.params
+        if p.refinement_radius == 0 or not rows:
+            return
+        store = self.index.store
+        cents = np.asarray(store.state.centroids)[np.asarray(rows, dtype=np.int64)]
+        k = min(p.refinement_radius, self.index.nlist())
+        sp = SearchParams(k=k, batched_scan=True)
+        _, ids32, _ = self.index.parent._search_device(jnp.asarray(cents), sp)
+        refine_rows = np.unique(np.asarray(ids32).ravel())
+        refine_rows = refine_rows[refine_rows >= 0]
+        self.refine_partitions(refine_rows.tolist(), p.refinement_iterations)
+
+    def refine_partitions(self, rows, iterations: int):
+        """Local Lloyd passes constrained to the given partitions
+        (partition_manager.cpp:447-488, clustering.cpp:99-182)."""
+        if not rows:
+            return
+        store = self.index.store
+        vec_list, id_list = [], []
+        for r in rows:
+            v, i = store.get_partition(int(r))
+            vec_list.append(v)
+            id_list.append(i)
+        cents = np.asarray(store.state.centroids)[np.asarray(rows, dtype=np.int64)]
+        new_cents, clusters = lloyd_refine_np(
+            vec_list, id_list, cents, self.index.metric, iterations
+        )
+        store.write_partitions(
+            list(rows),
+            [c[0] for c in clusters],
+            [c[1] for c in clusters],
+            new_cents,
+        )
+        self.index.parent.modify(np.asarray(rows, dtype=np.int64), new_cents)

@@ -1,0 +1,35 @@
+"""Test configuration: run everything on a virtual 8-device CPU mesh so
+sharding paths are exercised without TPU hardware (SURVEY §4 test plan)."""
+
+import os
+
+# Must run before jax is imported anywhere.
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(42)
+
+
+def make_data(n, d, seed=0):
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n, d), dtype=np.float32)
+
+
+@pytest.fixture(scope="session")
+def small_data():
+    """10k x 32 synthetic corpus + 100 queries (mirrors the reference's
+    synthetic fixtures, e.g. search_recall_tests.cpp:140-160)."""
+    x = make_data(10_000, 32, seed=1)
+    q = make_data(100, 32, seed=2)
+    ids = np.arange(10_000, dtype=np.int64)
+    return x, ids, q

@@ -1,0 +1,135 @@
+"""End-to-end QuakeIndex tests (mirror test/cpp/quake_index.cpp and
+search_recall_tests.cpp: build/search/add/remove/save-load + recall floors)."""
+
+import numpy as np
+import pytest
+
+from quake_tpu import IndexBuildParams, QuakeIndex, SearchParams
+from quake_tpu.utils import compute_recall, knn
+
+
+def build_index(x, ids, nlist, metric="l2", niter=5):
+    idx = QuakeIndex()
+    idx.build(x, ids, IndexBuildParams(nlist=nlist, metric=metric, niter=niter))
+    return idx
+
+
+def test_flat_build_search_exact(small_data):
+    """Flat search is exact: recall@10 >= 0.99 (search_recall_tests.cpp:160-189)."""
+    x, ids, q = small_data
+    idx = build_index(x, ids, nlist=0)
+    assert idx.nlist() == 1
+    assert idx.ntotal() == len(ids)
+    res = idx.search(q, SearchParams(k=10))
+    gt_ids, gt_d = knn(q, x, 10, "l2")
+    assert compute_recall(res.ids, gt_ids, 10) >= 0.99
+    np.testing.assert_allclose(
+        np.sort(res.distances, 1), np.sort(gt_d, 1), rtol=1e-2, atol=1e-2
+    )
+
+
+def test_ivf_recall_rises_with_nprobe(small_data):
+    """Recall monotonicity in nprobe (search_recall_tests.cpp)."""
+    x, ids, q = small_data
+    idx = build_index(x, ids, nlist=64)
+    gt_ids, _ = knn(q, x, 10, "l2")
+    recalls = []
+    for nprobe in (1, 4, 16, 64):
+        res = idx.search(q, SearchParams(k=10, nprobe=nprobe))
+        recalls.append(compute_recall(res.ids, gt_ids, 10))
+    assert recalls[-1] >= 0.99  # full probe == exact
+    assert recalls[0] <= recalls[-1]
+    assert recalls[1] <= recalls[-1] + 1e-9
+
+
+@pytest.mark.parametrize("metric", ["l2", "ip"])
+def test_metrics_end_to_end(small_data, metric):
+    x, ids, q = small_data
+    idx = build_index(x, ids, nlist=32, metric=metric)
+    res = idx.search(q, SearchParams(k=10, nprobe=32))
+    gt_ids, _ = knn(q, x, 10, metric)
+    assert compute_recall(res.ids, gt_ids, 10) >= 0.99
+
+
+def test_add_remove_roundtrip(small_data):
+    x, ids, q = small_data
+    idx = build_index(x[:5000], ids[:5000], nlist=32)
+    idx.add(x[5000:], ids[5000:])
+    assert idx.ntotal() == 10_000
+    res = idx.search(q, SearchParams(k=10, nprobe=32))
+    gt_ids, _ = knn(q, x, 10, "l2")
+    assert compute_recall(res.ids, gt_ids, 10) >= 0.99
+
+    idx.remove(ids[5000:])
+    assert idx.ntotal() == 5000
+    res = idx.search(q, SearchParams(k=10, nprobe=32))
+    gt_ids, _ = knn(q, x[:5000], 10, "l2", ids=ids[:5000])
+    assert compute_recall(res.ids, gt_ids, 10) >= 0.99
+    assert idx.validate()
+
+
+def test_add_duplicate_ids_rejected(small_data):
+    x, ids, _ = small_data
+    idx = build_index(x[:100], ids[:100], nlist=4)
+    with pytest.raises(ValueError):
+        idx.add(x[:5], ids[:5])
+    with pytest.raises(ValueError):
+        idx.add(x[:2], np.array([200, 200], dtype=np.int64))
+    with pytest.raises(ValueError):
+        idx.add(x[:1], np.array([-3], dtype=np.int64))
+
+
+def test_get_and_get_ids(small_data):
+    x, ids, _ = small_data
+    idx = build_index(x[:500], ids[:500], nlist=8)
+    v = idx.get(ids[10:20])
+    np.testing.assert_allclose(v, x[10:20], rtol=1e-6)
+    assert set(idx.get_ids().tolist()) == set(ids[:500].tolist())
+    with pytest.raises(KeyError):
+        idx.get(np.array([999999], dtype=np.int64))
+
+
+def test_save_load_roundtrip(tmp_path, small_data):
+    x, ids, q = small_data
+    idx = build_index(x[:2000], ids[:2000], nlist=16)
+    res1 = idx.search(q, SearchParams(k=10, nprobe=16))
+    idx.save(str(tmp_path / "idx"))
+
+    idx2 = QuakeIndex().load(str(tmp_path / "idx"))
+    assert idx2.ntotal() == idx.ntotal()
+    assert idx2.nlist() == idx.nlist()
+    assert idx2.metric == idx.metric
+    res2 = idx2.search(q, SearchParams(k=10, nprobe=16))
+    np.testing.assert_array_equal(res1.ids, res2.ids)
+    np.testing.assert_allclose(res1.distances, res2.distances, rtol=1e-5)
+    # Loaded index still mutable.
+    idx2.add(x[2000:2100], ids[2000:2100])
+    assert idx2.ntotal() == 2100
+
+
+def test_search_k_padding(small_data):
+    """k > ntotal pads with -1/inf (query_coordinator.cpp:447-456)."""
+    x, ids, q = small_data
+    idx = build_index(x[:5], ids[:5], nlist=0)
+    res = idx.search(q[:2], SearchParams(k=8))
+    assert (res.ids[:, 5:] == -1).all()
+    assert np.isinf(res.distances[:, 5:]).all()
+
+
+def test_timing_info_populated(small_data):
+    x, ids, q = small_data
+    idx = build_index(x, ids, nlist=32)
+    res = idx.search(q, SearchParams(k=10, nprobe=8))
+    ti = res.timing_info
+    assert ti.n_queries == len(q)
+    assert ti.partitions_scanned == 8
+    assert ti.total_time_ns > 0
+    assert ti.parent_info is not None
+
+
+def test_single_query_1d_input(small_data):
+    x, ids, _ = small_data
+    idx = build_index(x[:100], ids[:100], nlist=4)
+    res = idx.search(x[0], SearchParams(k=1, nprobe=4))
+    assert res.ids.shape == (1, 1)
+    assert res.ids[0, 0] == 0
