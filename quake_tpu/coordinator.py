@@ -101,9 +101,15 @@ def aps_search(
     q_sq = jnp.sum(q.astype(jnp.float32) ** 2, axis=1)
     valid = pids >= 0
     cents = centroids[jnp.where(valid, pids, 0)]  # [B, M, D]
-    boundary = geometry.boundary_distances(q.astype(jnp.float32), cents, metric)
+    # APS geometry always works in L2 space. For IP, spherical k-means keeps
+    # centroids unit-norm (clustering.cpp:25-26), so max-IP Voronoi cells ==
+    # L2 Voronoi cells of the centroids and the k-th IP score s maps to an
+    # L2 radius r = sqrt(|q|^2 + 1 - 2 s) (MIPS->NN reduction on a ~unit-norm
+    # corpus). This replaces the reference's angle-to-midpoint IP heuristic
+    # (geometry.h:96-109), which is untested there and does not adhere.
+    boundary = geometry.boundary_distances(q.astype(jnp.float32), cents, "l2")
     boundary = jnp.where(valid, boundary, jnp.inf).at[:, 0].set(boundary[:, 0])
-    table = geometry.beta_table(dimension, metric) if use_precomputed else None
+    table = geometry.beta_table(dimension, "l2") if use_precomputed else None
     rank_idx = jnp.arange(M, dtype=jnp.int32)[None, :]
 
     init = (
@@ -133,11 +139,12 @@ def aps_search(
         if metric == "l2":
             radius_new = jnp.sqrt(jnp.maximum(-kth, 0.0))
         else:
-            radius_new = jnp.arccos(jnp.clip(kth, -1.0, 1.0))
+            radius_new = jnp.sqrt(jnp.maximum(q_sq + 1.0 - 2.0 * kth, 0.0))
+        radius_new = jnp.where(jnp.isfinite(kth), radius_new, jnp.inf)
         rel = jnp.abs(radius_new - radius) / jnp.maximum(jnp.abs(radius_new), 1e-30)
         recompute = (rel > recompute_threshold) & active
         probs_new = geometry.recall_profile(
-            boundary, radius_new, dimension, metric, use_precomputed, table, valid
+            boundary, radius_new, dimension, "l2", use_precomputed, table, valid
         )
         probs = jnp.where(recompute[:, None], probs_new, probs)
         radius = jnp.where(recompute, radius_new, radius)

@@ -96,12 +96,17 @@ def log_cap_volume_ratio(radius, boundary, dimension: int, metric: str = "l2",
             inc = betainc(a, jnp.float32(0.5), x)
         return jnp.log(0.5) + jnp.log(jnp.maximum(inc, 1e-38))
     else:
+        # Spherical-cap measure beyond the bisector within the query cap:
+        # v = 0.5 * [I(sin^2(R/2)) - I(sin^2(b/2))] — the formula the
+        # reference documents at geometry.h:285 (its code computes a ratio
+        # instead, but the IP path is untested there; the difference form is
+        # the geometrically correct one and adheres to recall targets).
         a = jnp.float32((dimension - 1.0) / 2.0)
         sr = jnp.sin(R / 2.0) ** 2
         sb = jnp.sin(boundary / 2.0) ** 2
-        li_r = jnp.log(jnp.maximum(betainc(a, jnp.float32(0.5), jnp.clip(sr, 0.0, 1.0)), 1e-38))
-        li_b = jnp.log(jnp.maximum(betainc(a, jnp.float32(0.5), jnp.clip(sb, 0.0, 1.0)), 1e-38))
-        return jnp.log(0.5) + li_r - li_b
+        i_r = betainc(a, jnp.float32(0.5), jnp.clip(sr, 0.0, 1.0))
+        i_b = betainc(a, jnp.float32(0.5), jnp.clip(sb, 0.0, 1.0))
+        return jnp.log(0.5) + jnp.log(jnp.maximum(i_r - i_b, 1e-38))
 
 
 def recall_profile(boundary, radius, dimension: int, metric: str = "l2",

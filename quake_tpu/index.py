@@ -59,6 +59,7 @@ class QuakeIndex:
         self.parent: Optional["QuakeIndex"] = None
         self.build_params: Optional[IndexBuildParams] = None
         self.maintenance_policy = None  # set by initialize_maintenance_policy
+        self.mesh = None  # device mesh when num_shards > 1
         self._nprobe_bucket = 8  # pow2 padding for probe lists
 
     # ------------------------------------------------------------------ build
@@ -107,9 +108,21 @@ class QuakeIndex:
             # Flat: one partition holding everything (quake_index.cpp:68-79).
             self.store.init_single_partition(x, ids)
 
+        if bp.num_shards > 1:
+            self.shard(bp.num_shards)
+
         self.initialize_maintenance_policy(MaintenancePolicyParams())
         timing.total_time_us = _now_us() - t0
         return timing
+
+    def shard(self, n_devices: int):
+        """Shard the partition store over a device mesh (the analog of the
+        reference's worker-pool initialization, query_coordinator.cpp:50-73,
+        with ICI collectives replacing job queues)."""
+        from quake_tpu.parallel.mesh import make_mesh, shard_store_state
+
+        self.mesh = make_mesh(n_devices)
+        self.store.state = shard_store_state(self.store.state, self.mesh)
 
     def initialize_maintenance_policy(self, params: MaintenancePolicyParams):
         """quake_index.cpp:148-155. Only IVF (parented) indexes get a policy."""
@@ -148,7 +161,16 @@ class QuakeIndex:
         state = self.store.state
 
         if self.parent is None:
-            scores, ids32 = coordinator.flat_search(state.codes, state.ids, q, k, self.metric)
+            if self.mesh is not None:
+                from quake_tpu.parallel.sharded import sharded_flat_search
+
+                scores, ids32 = sharded_flat_search(
+                    self.mesh, state.codes, state.ids, q, k, self.metric
+                )
+            else:
+                scores, ids32 = coordinator.flat_search(
+                    state.codes, state.ids, q, k, self.metric
+                )
             timing.partitions_scanned = self.nlist()
             return scores, ids32, timing
 
@@ -184,6 +206,14 @@ class QuakeIndex:
                 use_precomputed=bool(sp.use_precomputed),
             )
             timing.partitions_scanned = int(np.asarray(scanned).mean()) if scanned.size else 0
+            self._record_hits(pids, scanned)
+        elif self.mesh is not None:
+            from quake_tpu.parallel.sharded import sharded_ivf_search
+
+            scores, ids32, scanned = sharded_ivf_search(
+                self.mesh, state.codes, state.ids, q, pids, k, self.metric
+            )
+            timing.partitions_scanned = parent_k
             self._record_hits(pids, scanned)
         else:
             scores, ids32, scanned = coordinator.ivf_search(

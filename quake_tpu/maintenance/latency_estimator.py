@@ -28,10 +28,14 @@ from quake_tpu.params import (
     DEFAULT_LATENCY_ESTIMATOR_RANGE_N,
 )
 
-# Analytic model constants (ns). Calibrated against TPU v5e HBM bandwidth
-# (~800 GB/s) with a per-partition gather/dispatch overhead.
+# Analytic model constants. Calibrated against TPU v5e HBM bandwidth
+# (~800 GB/s). The per-partition overhead is expressed in vector-equivalents:
+# scanning a partition costs at least one tile's worth of rows (gather setup,
+# matmul tile granularity, top-k merge), so L(n) ~ c*(TILE + n). This makes
+# the split break-even size 8*TILE (~2048 rows) for the default alpha=0.9 —
+# hot partitions beyond ~8 tiles benefit from splitting, smaller ones don't.
 _HBM_GBPS = 800.0
-_PARTITION_OVERHEAD_NS = 500.0
+_TILE_OVERHEAD_ROWS = 256.0
 _PER_K_NS = 2.0
 
 
@@ -53,8 +57,8 @@ class ListScanLatencyEstimator:
     # -- grid construction -----------------------------------------------------
 
     def _analytic_latency(self, n: float, k: float) -> float:
-        bytes_streamed = n * self.d * 4.0
-        return _PARTITION_OVERHEAD_NS + bytes_streamed / _HBM_GBPS + k * _PER_K_NS
+        bytes_streamed = (n + _TILE_OVERHEAD_ROWS) * self.d * 4.0
+        return bytes_streamed / _HBM_GBPS + k * _PER_K_NS
 
     def _analytic_grid(self) -> np.ndarray:
         grid = np.zeros((len(self.n_values), len(self.k_values)), dtype=np.float64)

@@ -1,0 +1,145 @@
+"""Partition-parallel search and build over a device mesh.
+
+The TPU-native analog of the reference worker pool
+(src/cpp/src/query_coordinator.cpp:243-469): a query batch is replicated to
+all shards, each shard scans its resident slice of the probed partitions and
+produces a local top-k, and a cross-device merge over ICI (all_gather +
+top_k) replaces the shared-memory global_topk_buffer merge
+(query_coordinator.cpp:172,234). No job queues, no polling: the merge is one
+collective.
+
+k-means build is data-parallel: rows sharded, per-iteration segment sums
+psum'd across the mesh (SURVEY §7.1 "sharded k-means").
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import PartitionSpec as P
+
+from quake_tpu.ops.scan import flat_scan, ivf_scan, topk_from_scores
+from quake_tpu.parallel.mesh import SHARD_AXIS
+
+
+def _merge_gathered(scores, ids32, k: int, axis: str):
+    """all_gather per-device top-k and reduce to global top-k (the ICI
+    tournament replacing TopkBuffer::batch_add merging)."""
+    all_s = lax.all_gather(scores, axis)  # [ndev, B, k]
+    all_i = lax.all_gather(ids32, axis)
+    ndev, B, kk = all_s.shape
+    all_s = jnp.moveaxis(all_s, 0, 1).reshape(B, ndev * kk)
+    all_i = jnp.moveaxis(all_i, 0, 1).reshape(B, ndev * kk)
+    return topk_from_scores(all_s, all_i, k)
+
+
+def _detect_slot_sharded(arr) -> bool:
+    spec = getattr(arr.sharding, "spec", None)
+    return spec is not None and len(spec) > 1 and spec[1] == SHARD_AXIS
+
+
+def sharded_ivf_search(mesh, codes, ids, q, pids, k: int, metric: str,
+                       strategy: str | None = None):
+    """Fixed-nprobe search over sharded slabs.
+
+    codes [P, C, D] / ids [P, C] sharded per the chosen strategy; q [B, D]
+    and pids [B, nprobe] (global partition indices, -1 pad) replicated.
+    Returns (scores [B, k], ids [B, k], scanned [B]) replicated.
+    """
+    if strategy is None:
+        strategy = "slot" if _detect_slot_sharded(codes) else "partition"
+
+    if strategy == "slot":
+
+        def local(codes_l, ids_l, q_l, pids_l):
+            s, i, scanned = ivf_scan(q_l, pids_l, codes_l, ids_l, None, k, metric)
+            ms, mi = _merge_gathered(s, i, k, SHARD_AXIS)
+            return ms, mi, scanned  # scanned identical on all shards
+
+        in_specs = (P(None, SHARD_AXIS), P(None, SHARD_AXIS), P(), P())
+    else:
+
+        def local(codes_l, ids_l, q_l, pids_l):
+            dev = lax.axis_index(SHARD_AXIS)
+            p_local = codes_l.shape[0]
+            offset = dev.astype(jnp.int32) * p_local
+            local_idx = pids_l - offset
+            owned = (pids_l >= 0) & (local_idx >= 0) & (local_idx < p_local)
+            local_pids = jnp.where(owned, local_idx, -1)
+            s, i, scanned = ivf_scan(q_l, local_pids, codes_l, ids_l, None, k, metric)
+            ms, mi = _merge_gathered(s, i, k, SHARD_AXIS)
+            return ms, mi, lax.psum(scanned, SHARD_AXIS)
+
+        in_specs = (P(SHARD_AXIS), P(SHARD_AXIS), P(), P())
+
+    fn = jax.shard_map(
+        local, mesh=mesh, in_specs=in_specs, out_specs=(P(), P(), P()),
+        check_vma=False,
+    )
+    return fn(codes, ids, q, pids)
+
+
+def sharded_flat_search(mesh, codes, ids, q, k: int, metric: str,
+                        chunk_size: int = 16384):
+    """Exact search with the store sharded over the mesh (even row-sharding
+    of the flat buffer, SURVEY §2.4)."""
+
+    def local(codes_l, ids_l, q_l):
+        Pl, Cl, D = codes_l.shape
+        s, i = flat_scan(q_l, codes_l.reshape(Pl * Cl, D), ids_l.reshape(Pl * Cl),
+                         k, metric, chunk_size)
+        return _merge_gathered(s, i, k, SHARD_AXIS)
+
+    if _detect_slot_sharded(codes):
+        in_specs = (P(None, SHARD_AXIS), P(None, SHARD_AXIS), P())
+    else:
+        in_specs = (P(SHARD_AXIS), P(SHARD_AXIS), P())
+
+    fn = jax.shard_map(
+        local, mesh=mesh, in_specs=in_specs, out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return fn(codes, ids, q)
+
+
+def sharded_kmeans_step(mesh, x_sharded, centroids, metric: str = "l2"):
+    """One data-parallel Lloyd iteration: x rows sharded, centroids
+    replicated; segment sums psum over the mesh. Returns (new_centroids
+    replicated, local assignments sharded)."""
+    n_clusters = centroids.shape[0]
+
+    def local(x_l, cents):
+        if metric == "ip":
+            cents = cents / jnp.maximum(
+                jnp.linalg.norm(cents, axis=1, keepdims=True), 1e-12
+            )
+        cents_sq = jnp.sum(cents * cents, axis=1)
+        x_sq = jnp.sum(x_l.astype(jnp.float32) ** 2, axis=1)
+        prod = jax.lax.dot_general(
+            x_l, cents,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        scores = prod if metric == "ip" else 2.0 * prod - x_sq[:, None] - cents_sq[None, :]
+        a = jnp.argmax(scores, axis=1).astype(jnp.int32)
+        sums = jax.ops.segment_sum(x_l.astype(jnp.float32), a, num_segments=n_clusters)
+        counts = jax.ops.segment_sum(
+            jnp.ones((x_l.shape[0],), jnp.float32), a, num_segments=n_clusters
+        )
+        sums = lax.psum(sums, SHARD_AXIS)
+        counts = lax.psum(counts, SHARD_AXIS)
+        new_c = sums / jnp.maximum(counts[:, None], 1.0)
+        new_c = jnp.where((counts < 0.5)[:, None], cents, new_c)
+        if metric == "ip":
+            new_c = new_c / jnp.maximum(
+                jnp.linalg.norm(new_c, axis=1, keepdims=True), 1e-12
+            )
+        return new_c, a
+
+    fn = jax.shard_map(
+        local, mesh=mesh, in_specs=(P(SHARD_AXIS), P()),
+        out_specs=(P(), P(SHARD_AXIS)),
+        check_vma=False,
+    )
+    return fn(x_sharded, centroids)

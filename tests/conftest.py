@@ -3,13 +3,20 @@ sharding paths are exercised without TPU hardware (SURVEY §4 test plan)."""
 
 import os
 
-# Must run before jax is imported anywhere.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force the virtual 8-device CPU mesh. The environment presets
+# JAX_PLATFORMS=axon (tunneled TPU) and its sitecustomize imports jax at
+# interpreter start, so the env var alone is too late — override via
+# jax.config before any backend initializes.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest

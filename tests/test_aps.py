@@ -1,0 +1,158 @@
+"""APS geometry + recall-target adherence tests
+(mirror test/cpp/search_recall_tests.cpp:284-339 and geometry.h math)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+
+def _lentz_betainc(a, b, x, iters=500):
+    """Host oracle: Lentz continued-fraction incomplete beta, the reference
+    algorithm (geometry.h:115-161), implemented independently in numpy."""
+    import math
+
+    if x <= 0.0:
+        return 0.0
+    if x >= 1.0:
+        return 1.0
+    if x > (a + 1.0) / (a + b + 2.0):
+        return 1.0 - _lentz_betainc(b, a, 1.0 - x, iters)
+    lbeta = math.lgamma(a) + math.lgamma(b) - math.lgamma(a + b)
+    front = math.exp(math.log(x) * a + math.log(1.0 - x) * b - lbeta) / a
+    f, c, d = 1.0, 1.0, 0.0
+    TINY = 1e-30
+    for i in range(iters):
+        m = i // 2
+        if i == 0:
+            num = 1.0
+        elif i % 2 == 0:
+            num = (m * (b - m) * x) / ((a + 2 * m - 1) * (a + 2 * m))
+        else:
+            num = -((a + m) * (a + b + m) * x) / ((a + 2 * m) * (a + 2 * m + 1))
+        d = 1.0 + num * d
+        if abs(d) < TINY:
+            d = TINY
+        d = 1.0 / d
+        c = 1.0 + num / c
+        if abs(c) < TINY:
+            c = TINY
+        f *= c * d
+        if abs(1.0 - c * d) < 1e-8:
+            return front * (f - 1.0)
+    return front * (f - 1.0)
+
+
+def test_betainc_matches_lentz_oracle():
+    from quake_tpu.geometry import beta_table
+
+    d = 32
+    tbl = np.asarray(beta_table(d, "l2"))
+    a = (d + 1.0) / 2.0
+    xs = np.linspace(0, 1, 1001)
+    oracle = np.array([_lentz_betainc(a, 0.5, float(x)) for x in xs[::100]])
+    np.testing.assert_allclose(tbl[::100], oracle, rtol=1e-3, atol=1e-5)
+
+
+def test_boundary_distances_l2_oracle():
+    """Bisector-distance formula vs a direct geometric computation
+    (geometry.h:57-95)."""
+    from quake_tpu.geometry import boundary_distances
+
+    rng = np.random.default_rng(0)
+    q = rng.standard_normal((3, 8)).astype(np.float32)
+    cents = rng.standard_normal((3, 5, 8)).astype(np.float32)
+    out = np.asarray(boundary_distances(jnp.asarray(q), jnp.asarray(cents), "l2"))
+    for b in range(3):
+        c0 = cents[b, 0]
+        r = q[b] - c0
+        for j in range(1, 5):
+            v = cents[b, j] - c0
+            a2 = float(v @ v)
+            expected = abs(float(r @ v) - 0.5 * a2) / np.sqrt(a2)
+            np.testing.assert_allclose(out[b, j], expected, rtol=1e-4)
+    assert (out[:, 0] == -1.0).all()
+
+
+def test_recall_profile_properties():
+    """Profile sums to 1, rank-0 heuristic (geometry.h:379), zero beyond
+    radius (geometry.h:363)."""
+    from quake_tpu.geometry import recall_profile
+
+    rng = np.random.default_rng(1)
+    M = 10
+    boundary = np.sort(rng.uniform(0.5, 3.0, (4, M)).astype(np.float32), axis=1)
+    boundary[:, 0] = -1.0
+    radius = np.array([1.0, 2.0, 0.7, 10.0], dtype=np.float32)
+    probs = np.asarray(
+        recall_profile(jnp.asarray(boundary), jnp.asarray(radius), 32, "l2")
+    )
+    np.testing.assert_allclose(probs.sum(axis=1), 1.0, rtol=1e-4)
+    for b in range(4):
+        within = boundary[b, 1:] < radius[b]
+        if not within.any():
+            # All caps empty -> uniform fallback (geometry.h:397-400).
+            np.testing.assert_allclose(probs[b], 1.0 / M, rtol=1e-4)
+            continue
+        # Partitions with boundary >= radius have zero probability.
+        assert (probs[b, 1:][~within] == 0).all()
+        # rank 0 = 2x rank 1 before normalization => ratio preserved after.
+        if probs[b, 1] > 0:
+            np.testing.assert_allclose(probs[b, 0], 2 * probs[b, 1], rtol=1e-3)
+
+
+def test_recall_profile_infinite_radius_keeps_scanning():
+    """Safety deviation: when the top-k buffer is not yet full (radius=inf),
+    probabilities are zero so APS keeps scanning."""
+    from quake_tpu.geometry import recall_profile
+
+    boundary = np.array([[-1.0, 0.5, 1.0, 2.0]], dtype=np.float32)
+    radius = np.array([np.inf], dtype=np.float32)
+    probs = np.asarray(
+        recall_profile(jnp.asarray(boundary), jnp.asarray(radius), 16, "l2")
+    )
+    assert (probs == 0).all()
+
+
+@pytest.mark.parametrize("metric", ["l2", "ip"])
+def test_aps_recall_target_adherence(metric):
+    """Achieved recall >= target (search_recall_tests.cpp:284-339 semantics,
+    with initial_search_fraction=0.5 as the reference tests use)."""
+    from quake_tpu import IndexBuildParams, QuakeIndex, SearchParams
+    from quake_tpu.utils import compute_recall, knn
+
+    rng = np.random.default_rng(7)
+    x = rng.standard_normal((20_000, 32)).astype(np.float32)
+    q = rng.standard_normal((20, 32)).astype(np.float32)
+    if metric == "ip":
+        # The spherical-cap model's domain is the unit sphere (like DEEP/
+        # normalized embedding benchmarks); normalize for IP.
+        x /= np.linalg.norm(x, axis=1, keepdims=True)
+        q /= np.linalg.norm(q, axis=1, keepdims=True)
+    ids = np.arange(20_000, dtype=np.int64)
+    idx = QuakeIndex()
+    idx.build(x, ids, IndexBuildParams(nlist=200, metric=metric))
+    gt, _ = knn(q, x, 10, metric)
+
+    prev_scanned = 0
+    for target in (0.5, 0.8, 0.9):
+        res = idx.search(
+            q,
+            SearchParams(
+                k=10,
+                recall_target=target,
+                initial_search_fraction=0.5,
+                recompute_threshold=0.0,
+                aps_chunk_size=4,
+            ),
+        )
+        achieved = compute_recall(res.ids, gt, 10)
+        assert achieved >= target - 0.05, f"target {target}, achieved {achieved}"
+        scanned = res.timing_info.partitions_scanned
+        assert scanned >= prev_scanned  # more aggressive target scans more
+        prev_scanned = scanned
+    # APS must scan far fewer partitions than the candidate set at low targets.
+    res_low = idx.search(
+        q, SearchParams(k=10, recall_target=0.5, initial_search_fraction=0.5,
+                        recompute_threshold=0.0, aps_chunk_size=4)
+    )
+    assert res_low.timing_info.partitions_scanned < 100

@@ -1,0 +1,216 @@
+"""Maintenance subsystem tests (mirror test/cpp/maintenance.cpp,
+maintenance_cost_estimator.cpp, latency_estimator.cpp, hit_count_tracker.cpp)."""
+
+import numpy as np
+import pytest
+
+from quake_tpu import IndexBuildParams, MaintenancePolicyParams, QuakeIndex, SearchParams
+from quake_tpu.maintenance.cost_estimator import MaintenanceCostEstimator
+from quake_tpu.maintenance.hit_tracker import HitCountTracker
+from quake_tpu.maintenance.latency_estimator import ListScanLatencyEstimator
+
+
+# --------------------------- hit tracker ------------------------------------
+
+
+def test_hit_tracker_window_cycling():
+    t = HitCountTracker(window_size=5, total_vectors=100)
+    for i in range(8):
+        t.add_query_data(np.array([i % 3]), scanned_size=10)
+    assert t.get_num_queries_recorded() == 5
+    hits = t.get_per_query_hits()
+    assert len(hits) == 5
+
+
+def test_hit_tracker_scan_fraction():
+    t = HitCountTracker(window_size=4, total_vectors=100)
+    for _ in range(4):
+        t.add_query_data(np.array([0]), scanned_size=25)
+    assert abs(t.get_current_scan_fraction() - 0.25) < 1e-6
+
+
+def test_hit_tracker_device_batches():
+    import jax.numpy as jnp
+
+    t = HitCountTracker(window_size=10, total_vectors=100)
+    pids = jnp.asarray(np.tile(np.arange(4, dtype=np.int32), (6, 1)))
+    scanned = jnp.asarray(np.full(6, 2, np.int32))
+    t.add_batch_device(pids, scanned)
+    assert t.get_num_queries_recorded() == 6
+    hits = t.get_per_query_hits(np.full(4, 10))
+    assert len(hits) == 6
+    assert hits[0].tolist() == [0, 1]  # only first `scanned` ranks counted
+
+
+# --------------------------- latency estimator -------------------------------
+
+
+def test_latency_estimator_monotone_in_n():
+    est = ListScanLatencyEstimator(d=64)
+    l1 = est.estimate_scan_latency(100, 10)
+    l2 = est.estimate_scan_latency(10_000, 10)
+    assert l2 > l1 > 0
+
+
+def test_latency_estimator_interpolation_between_grid_points():
+    est = ListScanLatencyEstimator(d=32)
+    lo = est.estimate_scan_latency(1024, 16)
+    hi = est.estimate_scan_latency(4096, 16)
+    mid = est.estimate_scan_latency(2048, 16)
+    assert lo <= mid <= hi
+
+
+def test_latency_estimator_extrapolation_beyond_grid():
+    est = ListScanLatencyEstimator(d=32)
+    inside = est.estimate_scan_latency(65536, 256)
+    outside = est.estimate_scan_latency(200_000, 256)
+    assert outside > inside
+
+
+def test_latency_estimator_csv_roundtrip(tmp_path):
+    est = ListScanLatencyEstimator(d=16)
+    est.latency_grid *= 2.0
+    p = str(tmp_path / "profile.csv")
+    est.save(p)
+    est2 = ListScanLatencyEstimator(d=16)
+    assert est2.load(p)
+    np.testing.assert_allclose(est2.latency_grid, est.latency_grid, rtol=1e-5)
+
+
+def test_latency_estimator_grid_mismatch_rejected(tmp_path):
+    """Mismatched-grid rejection (test/cpp/latency_estimator.cpp:116)."""
+    est = ListScanLatencyEstimator(d=16)
+    p = str(tmp_path / "profile.csv")
+    est.save(p)
+    other = ListScanLatencyEstimator(d=32)
+    with pytest.raises(ValueError):
+        other.load(p)
+
+
+# --------------------------- cost estimator ----------------------------------
+
+
+def test_split_delta_sign_behavior():
+    """Hot+large partitions want splitting; cold ones don't
+    (maintenance_cost_estimator.cpp:384-394 invariants)."""
+    est = MaintenanceCostEstimator(d=64, alpha=0.9, k=10)
+    hot_large = est.compute_split_delta(65536, hit_rate=1.0, total_partitions=100)
+    cold = est.compute_split_delta(65536, hit_rate=0.0, total_partitions=100)
+    assert hot_large < cold
+    assert cold > 0 or abs(cold) < 1e3  # no benefit without hits
+
+
+def test_delete_delta_sign_behavior():
+    """Cold partitions get negative (beneficial) delete deltas."""
+    est = MaintenanceCostEstimator(d=64, alpha=0.9, k=10)
+    cold = est.compute_delete_delta(
+        1000, hit_rate=0.0, total_partitions=100,
+        avg_partition_hit_rate=0.5, avg_partition_size=1000,
+    )
+    hot = est.compute_delete_delta(
+        1000, hit_rate=1.0, total_partitions=100,
+        avg_partition_hit_rate=0.5, avg_partition_size=1000,
+    )
+    assert cold < hot
+    assert est.compute_delete_delta(1000, 0.0, 1, 0.5, 1000) == 0.0
+
+
+def test_invalid_estimator_params_rejected():
+    with pytest.raises(ValueError):
+        MaintenanceCostEstimator(d=8, alpha=0.0, k=10)
+    with pytest.raises(ValueError):
+        MaintenanceCostEstimator(d=8, alpha=0.9, k=0)
+
+
+# --------------------------- end-to-end policy -------------------------------
+
+
+def build_skewed_index(n=20_000, d=16, nlist=32, window=100,
+                       delete_threshold=10.0, split_threshold=10.0):
+    """The reference's own trigger tests set thresholds to ~0
+    (test/cpp/maintenance.cpp:112-127); mirror that knob here."""
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    ids = np.arange(n, dtype=np.int64)
+    idx = QuakeIndex()
+    idx.build(x, ids, IndexBuildParams(nlist=nlist))
+    params = MaintenancePolicyParams(
+        window_size=window,
+        refinement_radius=8,
+        delete_threshold_ns=delete_threshold,
+        split_threshold_ns=split_threshold,
+    )
+    idx.initialize_maintenance_policy(params)
+    return idx, x, ids
+
+
+def test_maintenance_noop_without_full_window():
+    """No maintenance before the window fills (maintenance_policies.cpp:36-41,
+    test/cpp/maintenance.cpp:59)."""
+    idx, *_ = build_skewed_index()
+    info = idx.maintenance()
+    assert info.n_splits == 0 and info.n_deletes == 0
+    nlist_before = idx.nlist()
+    assert idx.nlist() == nlist_before
+
+
+def test_maintenance_splits_hot_partitions():
+    """Skewed traffic on few partitions triggers splits
+    (test/cpp/maintenance.cpp:112-152). Partitions must exceed the split
+    break-even size (~8 HBM tiles, see latency_estimator.py)."""
+    idx, x, ids = build_skewed_index(
+        n=30_000, nlist=4, window=50, split_threshold=0.0, delete_threshold=1e9
+    )
+    policy = idx.maintenance_policy
+    # Simulate heavily skewed traffic: every query hits partitions 0 and 1.
+    for _ in range(60):
+        policy.record_query_hits([0, 1])
+    nlist_before = idx.nlist()
+    ntotal_before = idx.ntotal()
+    info = idx.maintenance()
+    assert info.n_splits > 0
+    assert idx.nlist() > nlist_before - info.n_deletes
+    assert idx.ntotal() == ntotal_before  # no vectors lost
+    assert idx.validate()
+
+
+def test_maintenance_deletes_cold_partitions():
+    idx, x, ids = build_skewed_index(
+        n=20_000, d=4, nlist=200, window=50,
+        delete_threshold=0.0, split_threshold=1e9,
+    )
+    policy = idx.maintenance_policy
+    # Hit only partition 0; everything else is cold.
+    for _ in range(60):
+        policy.record_query_hits([0])
+    ntotal_before = idx.ntotal()
+    info = idx.maintenance()
+    assert info.n_deletes > 0
+    assert idx.ntotal() == ntotal_before  # deleted partitions reassigned
+    assert idx.validate()
+
+
+def test_search_feeds_hit_window():
+    """The search path wires record_query_hits automatically (SURVEY §2.1
+    fix)."""
+    idx, x, ids = build_skewed_index(window=20)
+    q = x[:10]
+    idx.search(q, SearchParams(k=5, nprobe=4))
+    idx.search(q, SearchParams(k=5, nprobe=4))
+    assert idx.maintenance_policy.hit_count_tracker.get_num_queries_recorded() >= 20
+
+
+def test_search_correct_after_maintenance():
+    from quake_tpu.utils import compute_recall, knn
+
+    idx, x, ids = build_skewed_index(
+        n=30_000, nlist=4, window=50, split_threshold=0.0
+    )
+    policy = idx.maintenance_policy
+    for _ in range(60):
+        policy.record_query_hits([0, 1])
+    idx.maintenance()
+    q = x[:50]
+    res = idx.search(q, SearchParams(k=10, nprobe=idx.nlist()))
+    gt, _ = knn(q, x, 10, "l2")
+    assert compute_recall(res.ids, gt, 10) >= 0.99

@@ -1,0 +1,102 @@
+"""Shard-parity tests: sharded results == single-device results
+(the analog of WorkerScanCorrectnessTest, test/cpp/query_coordinator.cpp:201)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from quake_tpu import IndexBuildParams, QuakeIndex, SearchParams
+from quake_tpu.parallel.mesh import make_mesh, shard_store_state
+from quake_tpu.parallel.sharded import (
+    sharded_flat_search,
+    sharded_ivf_search,
+    sharded_kmeans_step,
+)
+from quake_tpu.utils import compute_recall, knn
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 2, reason="needs multi-device (virtual) platform"
+)
+
+
+def test_sharded_ivf_matches_single_device(small_data):
+    x, ids, q = small_data
+    idx = QuakeIndex()
+    idx.build(x, ids, IndexBuildParams(nlist=32))
+    res_single = idx.search(q, SearchParams(k=10, nprobe=8))
+
+    idx.shard(len(jax.devices()))
+    res_sharded = idx.search(q, SearchParams(k=10, nprobe=8))
+    np.testing.assert_array_equal(res_single.ids, res_sharded.ids)
+    np.testing.assert_allclose(
+        res_single.distances, res_sharded.distances, rtol=1e-5, atol=1e-5
+    )
+
+
+def test_sharded_flat_matches_single_device(small_data):
+    x, ids, q = small_data
+    idx = QuakeIndex()
+    idx.build(x[:4096], ids[:4096], IndexBuildParams(nlist=0))
+    res_single = idx.search(q, SearchParams(k=10))
+    idx.shard(len(jax.devices()))
+    res_sharded = idx.search(q, SearchParams(k=10))
+    np.testing.assert_array_equal(res_single.ids, res_sharded.ids)
+
+
+def test_sharded_partition_strategy_matches(small_data):
+    x, ids, q = small_data
+    idx = QuakeIndex()
+    idx.build(x, ids, IndexBuildParams(nlist=32))
+    state = idx.store.state
+    qd = jnp.asarray(q)
+    pids = np.tile(np.arange(32, dtype=np.int32), (len(q), 1))
+    from quake_tpu.coordinator import ivf_search
+
+    s0, i0, _ = ivf_search(state.codes, state.ids, qd, jnp.asarray(pids), 10, "l2")
+
+    mesh = make_mesh()
+    sharded = shard_store_state(state, mesh, strategy="partition")
+    s1, i1, scanned = sharded_ivf_search(
+        mesh, sharded.codes, sharded.ids, qd, jnp.asarray(pids), 10, "l2",
+        strategy="partition",
+    )
+    np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
+    np.testing.assert_allclose(np.asarray(s0), np.asarray(s1), rtol=1e-5, atol=1e-5)
+    assert (np.asarray(scanned) == 32).all()
+
+
+def test_sharded_mutation_after_sharding(small_data):
+    """Add/remove still work on a sharded store (sharding propagates
+    through the functional update programs)."""
+    x, ids, q = small_data
+    idx = QuakeIndex()
+    idx.build(x[:5000], ids[:5000], IndexBuildParams(nlist=16, num_shards=len(jax.devices())))
+    idx.add(x[5000:6000], ids[5000:6000])
+    idx.remove(ids[:500])
+    assert idx.ntotal() == 5500
+    res = idx.search(q, SearchParams(k=10, nprobe=16))
+    keep = np.concatenate([ids[500:5000], ids[5000:6000]])
+    gt_ids, _ = knn(q, x[keep], 10, "l2", ids=keep)
+    assert compute_recall(res.ids, gt_ids, 10) >= 0.99
+
+
+def test_sharded_kmeans_step_matches_replicated():
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((4096, 16)).astype(np.float32)
+    cents = x[:8].copy()
+    mesh = make_mesh()
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    x_sharded = jax.device_put(jnp.asarray(x), NamedSharding(mesh, P("shard")))
+    c_rep = jax.device_put(jnp.asarray(cents), NamedSharding(mesh, P()))
+    new_c, assigns = sharded_kmeans_step(mesh, x_sharded, c_rep)
+
+    # Reference: single-device numpy Lloyd step.
+    d2 = (x**2).sum(1)[:, None] - 2 * x @ cents.T + (cents**2).sum(1)[None, :]
+    a = np.argmin(d2, axis=1)
+    expected = np.stack([
+        x[a == c].mean(0) if (a == c).any() else cents[c] for c in range(8)
+    ])
+    np.testing.assert_allclose(np.asarray(new_c), expected, rtol=1e-4, atol=1e-4)
+    np.testing.assert_array_equal(np.asarray(assigns), a)
