@@ -215,6 +215,22 @@ class QuakeIndex:
             )
             timing.partitions_scanned = parent_k
             self._record_hits(pids, scanned)
+        elif int(q.shape[0]) >= 16 or sp.batched_scan:
+            # Partition-major grouped scan: each probed partition streams
+            # once per batch (the batched_serial_scan analog,
+            # query_coordinator.cpp:675-799) — the high-throughput path.
+            from quake_tpu.ops.grouped import grouped_scan_xla
+
+            B = int(q.shape[0])
+            qt = min(128, max(8, next_pow2(2 * B * parent_k // max(self.nlist(), 1) or 1)))
+            slab_bytes = self.store.C * self.d() * 4
+            group_chunk = max(8, min(128, (1 << 27) // max(slab_bytes, 1)))
+            scores, ids32, scanned = grouped_scan_xla(
+                state.codes, state.ids, q, pids, k, self.metric,
+                qt=qt, group_chunk=group_chunk,
+            )
+            timing.partitions_scanned = parent_k
+            self._record_hits(pids, scanned)
         else:
             scores, ids32, scanned = coordinator.ivf_search(
                 state.codes, state.ids, q, pids, k, self.metric
@@ -243,10 +259,10 @@ class QuakeIndex:
         if uniq.size != ids.size:
             raise ValueError("duplicate ids in input")
         if check_resident and self.store is not None:
-            id_map = self.store.id_to_row
-            dup = [int(v) for v in ids.tolist() if int(v) in id_map]
-            if dup:
-                raise ValueError(f"ids already in index (e.g. {dup[:5]})")
+            resident = self.store.id_map.contains_batch(ids)
+            if resident.any():
+                dup = ids[resident][:5].tolist()
+                raise ValueError(f"ids already in index (e.g. {dup})")
 
     def add(self, x, ids) -> ModifyTimingInfo:
         """Insert vectors (quake_index.cpp:122-130, partition_manager.cpp:123-262)."""
@@ -380,13 +396,12 @@ class QuakeIndex:
         self.store.free_rows = list(meta["free_rows"])
         self.store.generation = np.load(os.path.join(path, "generation.npy"))
         # Rebuild the resident-id map from stored slots.
-        id_map = {}
-        for r in range(ids.shape[0]):
-            sz = int(sizes[r])
-            for v in ids[r, :sz].tolist():
-                if v >= 0:
-                    id_map[int(v)] = r
-        self.store.id_to_row = id_map
+        from quake_tpu.storage.idmap import make_id_map
+
+        mask = ids >= 0
+        rr, cc = np.nonzero(mask)
+        self.store.id_map = make_id_map(int(mask.sum()))
+        self.store.id_map.set_batch(ids[rr, cc].astype(np.int64), rr.astype(np.int32))
 
         if meta["has_parent"]:
             self.parent = QuakeIndex(level=self.level + 1)

@@ -24,6 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 
+from quake_tpu.storage.idmap import make_id_map
 from quake_tpu.utils import next_pow2, to_f32, to_i64
 
 MIN_CAPACITY = 1024  # initial per-partition capacity (index_partition.cpp:247-255)
@@ -230,7 +231,7 @@ class PartitionStore:
         self.state: StoreState | None = None
         self.free_rows: list[int] = []
         self.generation: np.ndarray | None = None  # [P] int64
-        self.id_to_row: dict[int, int] = {}
+        self.id_map = make_id_map()  # native C++ map, dict fallback
 
     # -- properties ---------------------------------------------------------
 
@@ -246,7 +247,7 @@ class PartitionStore:
         return self.P - len(self.free_rows)
 
     def ntotal(self) -> int:
-        return len(self.id_to_row)
+        return len(self.id_map)
 
     def active_rows(self) -> np.ndarray:
         free = set(self.free_rows)
@@ -282,9 +283,8 @@ class PartitionStore:
         )
         self.free_rows = list(range(nlist, P))[::-1]
         self.generation = np.zeros(P, dtype=np.int64)
-        self.id_to_row = {
-            int(v): int(r) for v, r in zip(vids_np.tolist(), assigns_np.tolist())
-        }
+        self.id_map = make_id_map(len(vids_np))
+        self.id_map.set_batch(vids_np, assigns_np.astype(np.int32))
 
     def init_single_partition(self, x, vids):
         """Flat-index mode: one partition 0 holding everything
@@ -330,37 +330,35 @@ class PartitionStore:
         self.state = _append(
             self.state, jnp.asarray(rows_p), jnp.asarray(vecs_p), jnp.asarray(vids_p)
         )
-        for v, r in zip(vids[:n].tolist(), rows[:n].tolist()):
-            if r >= 0:
-                self.id_to_row[int(v)] = int(r)
+        ok = rows[:n] >= 0
+        self.id_map.set_batch(np.asarray(vids[:n])[ok], rows[:n][ok].astype(np.int32))
 
     def remove(self, vids: np.ndarray) -> int:
         """Remove vector ids. Routes to only the affected rows via id_to_row."""
         vids = to_i64(vids)
-        present = [int(v) for v in vids.tolist() if int(v) in self.id_to_row]
-        if not present:
+        lookup = self.id_map.get_batch(vids)
+        present_mask = lookup >= 0
+        present = vids[present_mask]
+        if len(present) == 0:
             return 0
-        rows = sorted({self.id_to_row[v] for v in present})
+        rows = np.unique(lookup[present_mask])
         mb = _bucket(len(rows))
         rows_p = np.full(mb, -1, np.int32)
         rows_p[: len(rows)] = rows
         rb = _bucket(len(present))
         rem = np.full(rb, np.iinfo(np.int32).max, np.int32)
-        rem[: len(present)] = sorted(present)
+        rem[: len(present)] = np.sort(present)
         self.state, n_removed = _remove_compact(
             self.state, jnp.asarray(rows_p), jnp.asarray(rem)
         )
-        for v in present:
-            del self.id_to_row[v]
+        self.id_map.erase_batch(present)
         return len(present)
 
     def update_vectors(self, vids: np.ndarray, vecs: np.ndarray):
         """Overwrite resident vectors by id (used by parent.modify)."""
         vids = to_i64(vids)
         m = len(vids)
-        rows = np.array(
-            [self.id_to_row.get(int(v), -1) for v in vids.tolist()], dtype=np.int32
-        )
+        rows = self.id_map.get_batch(vids)
         b = _bucket(m)
         rows_p = np.full(b, -1, np.int32)
         rows_p[:m] = rows
@@ -378,9 +376,7 @@ class PartitionStore:
         Returns (vecs [m, d] f32, found [m] bool)."""
         vids = to_i64(vids)
         m = len(vids)
-        rows = np.array(
-            [self.id_to_row.get(int(v), -1) for v in vids.tolist()], dtype=np.int32
-        )
+        rows = self.id_map.get_batch(vids)
         b = _bucket(m)
         rows_p = np.full(b, -1, np.int32)
         rows_p[:m] = rows
@@ -423,18 +419,21 @@ class PartitionStore:
             jnp.asarray(sizes_p),
             jnp.asarray(cents_p),
         )
-        for i in range(m):
-            r = int(rows[i])
-            for v in np.asarray(vids_list[i]).tolist():
-                self.id_to_row[int(v)] = r
+        all_keys = [np.asarray(v, np.int64) for v in vids_list if len(v)]
+        all_rows = [
+            np.full(len(vids_list[i]), rows[i], np.int32)
+            for i in range(m)
+            if len(vids_list[i])
+        ]
+        if all_keys:
+            self.id_map.set_batch(np.concatenate(all_keys), np.concatenate(all_rows))
 
     def delete_partitions(self, rows):
         """Deactivate rows; ids within them are dropped from the resident map."""
-        ids_np = np.asarray(self.state.ids)
-        for r in rows:
-            for v in ids_np[r]:
-                if v >= 0:
-                    self.id_to_row.pop(int(v), None)
+        ids_np = np.asarray(self.state.ids[np.asarray(rows, dtype=np.int64)])
+        gone = ids_np[ids_np >= 0].astype(np.int64)
+        if len(gone):
+            self.id_map.erase_batch(gone)
         mb = _bucket(len(rows), 1)
         rows_p = np.full(mb, -1, np.int32)
         rows_p[: len(rows)] = rows
@@ -459,4 +458,4 @@ class PartitionStore:
         return codes, ids
 
     def get_ids(self) -> np.ndarray:
-        return np.fromiter(self.id_to_row.keys(), dtype=np.int64, count=len(self.id_to_row))
+        return self.id_map.items()[0]

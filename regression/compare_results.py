@@ -1,0 +1,91 @@
+#!/usr/bin/env python
+"""Regression comparison with relative thresholds.
+
+Mirrors reference test/python/regression/compare_results.py:43-181: flag a
+regression when query latency worsens by >5% or recall drops by >1% versus
+the stored baseline results.
+"""
+
+from __future__ import annotations
+
+import argparse
+import csv
+import sys
+from collections import defaultdict
+
+
+LATENCY_THRESHOLD = 0.05  # +5% (compare_results.py:178-181)
+RECALL_THRESHOLD = 0.01  # -1%
+
+
+def summarize(csv_path: str):
+    per_method = defaultdict(lambda: {"query_lat": [], "recall": [], "insert_lat": [], "delete_lat": []})
+    with open(csv_path) as f:
+        for row in csv.DictReader(f):
+            m = per_method[row.get("method", "default")]
+            op = row["operation_type"]
+            lat = float(row["latency_ms"]) if row.get("latency_ms") else None
+            if op == "query" and lat is not None:
+                m["query_lat"].append(lat)
+                if row.get("recall"):
+                    m["recall"].append(float(row["recall"]))
+            elif op == "insert" and lat is not None:
+                m["insert_lat"].append(lat)
+            elif op == "delete" and lat is not None:
+                m["delete_lat"].append(lat)
+
+    out = {}
+    for name, m in per_method.items():
+        out[name] = {
+            "mean_query_latency_ms": _mean(m["query_lat"]),
+            "mean_recall": _mean(m["recall"]),
+            "mean_insert_latency_ms": _mean(m["insert_lat"]),
+            "mean_delete_latency_ms": _mean(m["delete_lat"]),
+        }
+    return out
+
+
+def _mean(vals):
+    return sum(vals) / len(vals) if vals else None
+
+
+def compare(baseline_csv: str, current_csv: str,
+            latency_threshold: float = LATENCY_THRESHOLD,
+            recall_threshold: float = RECALL_THRESHOLD) -> list[str]:
+    base = summarize(baseline_csv)
+    curr = summarize(current_csv)
+    failures = []
+    for method, b in base.items():
+        c = curr.get(method)
+        if c is None:
+            failures.append(f"{method}: missing from current results")
+            continue
+        bl, cl = b["mean_query_latency_ms"], c["mean_query_latency_ms"]
+        if bl and cl and cl > bl * (1 + latency_threshold):
+            failures.append(
+                f"{method}: query latency regressed {bl:.2f} -> {cl:.2f} ms (> +{latency_threshold:.0%})"
+            )
+        br, cr = b["mean_recall"], c["mean_recall"]
+        if br is not None and cr is not None and cr < br - recall_threshold:
+            failures.append(
+                f"{method}: recall regressed {br:.3f} -> {cr:.3f} (> -{recall_threshold:.0%})"
+            )
+    return failures
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--baseline", required=True)
+    ap.add_argument("--current", required=True)
+    ap.add_argument("--latency-threshold", type=float, default=LATENCY_THRESHOLD)
+    ap.add_argument("--recall-threshold", type=float, default=RECALL_THRESHOLD)
+    args = ap.parse_args()
+    failures = compare(
+        args.baseline, args.current, args.latency_threshold, args.recall_threshold
+    )
+    if failures:
+        print("REGRESSIONS DETECTED:")
+        for f in failures:
+            print(" -", f)
+        sys.exit(1)
+    print("No regressions.")

@@ -1,0 +1,130 @@
+"""Workload generator/evaluator tests
+(mirror test/python/test_workload_generator.py:26-114)."""
+
+import json
+
+import numpy as np
+import pytest
+
+from quake_tpu.params import MaintenancePolicyParams
+from quake_tpu.workload.generator import (
+    DynamicWorkloadGenerator,
+    StratifiedClusterSampler,
+    UniformSampler,
+)
+from quake_tpu.workload.evaluator import WorkloadEvaluator
+from quake_tpu.wrappers.quake import QuakeWrapper
+
+
+@pytest.fixture(scope="module")
+def workload(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("workload")
+    rng = np.random.default_rng(0)
+    base = rng.standard_normal((10_000, 16)).astype(np.float32)
+    gen = DynamicWorkloadGenerator(
+        workload_dir=tmp,
+        base_vectors=base,
+        metric="l2",
+        insert_ratio=0.3,
+        delete_ratio=0.2,
+        query_ratio=0.5,
+        update_batch_size=100,
+        query_batch_size=20,
+        number_of_operations=20,
+        initial_size=2000,
+        cluster_size=100,
+        cluster_sample_distribution="uniform",
+        queries=None,
+        seed=42,
+    )
+    gen.generate_workload()
+    return tmp, base
+
+
+def test_workload_files_exist(workload):
+    tmp, base = workload
+    assert (tmp / "runbook.json").exists()
+    assert (tmp / "initial_indices.npy").exists()
+    assert (tmp / "base_vectors.npy").exists()
+    runbook = json.loads((tmp / "runbook.json").read_text())
+    assert runbook["summary"]["n_operations"] > 0
+    ops = runbook["operations"]
+    assert len(ops) == runbook["summary"]["n_operations"]
+    # Every op has a saved ids file; queries also have gt.
+    for op_id, op in ops.items():
+        assert (tmp / "operations" / f"{op_id}.npy").exists()
+        if op["type"] == "query":
+            assert (tmp / "operations" / f"{op_id}_gt_ids.npy").exists()
+
+
+def test_evaluator_runs_and_reports_recall(workload, tmp_path):
+    tmp, base = workload
+    ev = WorkloadEvaluator(workload_dir=tmp, output_dir=tmp_path / "out")
+    results = ev.evaluate_workload(
+        name="quake",
+        index=QuakeWrapper(),
+        build_params={"nc": 32, "metric": "l2"},
+        search_params={"k": 10, "nprobe": 16},
+        do_maintenance=True,
+        m_params=MaintenancePolicyParams(window_size=50),
+    )
+    assert len(results) > 0
+    recalls = [r["recall"] for r in results if r["operation_type"] == "query"]
+    assert recalls, "workload contained no queries"
+    assert all(0.0 <= r <= 1.0 for r in recalls)
+    assert np.mean(recalls) > 0.5
+    # index_state is reported per op (n_list/n_total).
+    assert all("n_list" in r and "n_total" in r for r in results)
+
+
+def test_uniform_sampler_no_duplicates():
+    s = UniformSampler(np.random.default_rng(0))
+    pool = np.arange(100, dtype=np.int64)
+    out = s.sample(pool, 10)
+    assert len(out) == 10
+    assert len(np.unique(out)) == 10
+
+
+def test_stratified_sampler_draws_from_clusters():
+    rng = np.random.default_rng(1)
+    centroids = rng.standard_normal((8, 4)).astype(np.float32)
+    assignments = rng.integers(0, 8, 200)
+    s = StratifiedClusterSampler(assignments, centroids, rng)
+    pool = np.arange(200, dtype=np.int64)
+    out = s.sample(pool, 50)
+    assert 0 < len(out) <= 50
+    # Skewed: samples concentrate in few clusters.
+    clusters_hit = np.unique(assignments[out])
+    assert len(clusters_hit) < 8
+
+
+def test_regression_compare_gates(tmp_path):
+    """5%/1% regression thresholds (compare_results.py:178-181 analog)."""
+    import csv
+    import sys
+
+    sys.path.insert(0, "regression")
+    from compare_results import compare
+
+    def write(path, lat, rec):
+        with open(path, "w", newline="") as f:
+            w = csv.DictWriter(
+                f, fieldnames=["method", "operation_type", "latency_ms", "recall"]
+            )
+            w.writeheader()
+            w.writerow(
+                {"method": "m", "operation_type": "query", "latency_ms": lat, "recall": rec}
+            )
+
+    base = tmp_path / "base.csv"
+    write(base, 10.0, 0.95)
+    ok = tmp_path / "ok.csv"
+    write(ok, 10.4, 0.945)  # within +5% latency, -1% recall
+    bad_lat = tmp_path / "bad_lat.csv"
+    write(bad_lat, 11.0, 0.95)
+    bad_rec = tmp_path / "bad_rec.csv"
+    write(bad_rec, 10.0, 0.93)
+
+    assert compare(str(base), str(ok)) == []
+    assert any("latency" in f for f in compare(str(base), str(bad_lat)))
+    assert any("recall" in f for f in compare(str(base), str(bad_rec)))
