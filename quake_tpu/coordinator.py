@@ -156,3 +156,43 @@ def aps_search(
 
     _, scores, sids, _, _, _, scanned = lax.while_loop(cond, body, init)
     return scores, sids, scanned
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "nprobe", "metric", "qt", "group_chunk"),
+)
+def fused_ivf_search(
+    codes, ids, parent_codes, parent_ids, q,
+    k: int, nprobe: int, metric: str, qt: int, group_chunk: int,
+):
+    """End-to-end fixed-nprobe search as ONE device program: parent centroid
+    scan -> partition-major grouped scan -> top-k merge -> distance
+    conversion. A single dispatch matters: per-dispatch overhead dominates
+    multi-program pipelines on remote-attached TPUs, and fusing also lets XLA
+    overlap the stages.
+
+    Returns (scores, ids32, distances, scanned, pids).
+    """
+    from quake_tpu.ops.grouped import grouped_scan_xla
+    from quake_tpu.ops.scan import scores_to_distances
+
+    Pp, Cp, D = parent_codes.shape
+    _, pids = flat_scan(
+        q, parent_codes.reshape(Pp * Cp, D), parent_ids.reshape(Pp * Cp),
+        nprobe, metric,
+    )
+    scores, ids32, scanned = grouped_scan_xla(
+        codes, ids, q, pids, k, metric, qt=qt, group_chunk=group_chunk
+    )
+    dists = scores_to_distances(scores, ids32, metric)
+    return scores, ids32, dists, scanned, pids
+
+
+@functools.partial(jax.jit, static_argnames=("k", "metric", "chunk_size"))
+def fused_flat_search(codes, ids, q, k: int, metric: str, chunk_size: int = 16384):
+    """Flat search + distance conversion in one program."""
+    from quake_tpu.ops.scan import scores_to_distances
+
+    scores, ids32 = flat_search(codes, ids, q, k, metric, chunk_size)
+    return scores, ids32, scores_to_distances(scores, ids32, metric)

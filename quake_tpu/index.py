@@ -93,7 +93,19 @@ class QuakeIndex:
             )
             centroids_np = np.asarray(centroids)
             assigns_np = np.asarray(assignments)
+            if bp.balance_partitions:
+                # Bound slab padding: split clusters above ~1.5x the mean
+                # (see kmeans.balance_clusters docstring).
+                from quake_tpu.kmeans import balance_clusters
+
+                mean = max(n // max(bp.nlist, 1), 1)
+                cap = max(256, -(-int(1.5 * mean) // 256) * 256)
+                centroids_np, assigns_np = balance_clusters(
+                    x, centroids_np, assigns_np, cap
+                )
+            nlist_final = centroids_np.shape[0]
             timing.train_time_us = _now_us() - t_train
+            timing.n_clusters = nlist_final
 
             t_assign = _now_us()
             self.store.init_from_assignments(x, ids, centroids_np, assigns_np)
@@ -103,7 +115,9 @@ class QuakeIndex:
             parent_bp = bp.parent_params or IndexBuildParams(metric=bp.metric, nlist=0)
             parent_bp.metric = bp.metric
             self.parent = QuakeIndex(level=self.level + 1)
-            self.parent.build(centroids_np, np.arange(bp.nlist, dtype=np.int64), parent_bp)
+            self.parent.build(
+                centroids_np, np.arange(nlist_final, dtype=np.int64), parent_bp
+            )
         else:
             # Flat: one partition holding everything (quake_index.cpp:68-79).
             self.store.init_single_partition(x, ids)
@@ -146,11 +160,56 @@ class QuakeIndex:
             )
         q = jnp.asarray(x)
 
-        scores, ids32, timing = self._search_device(q, sp)
+        scores, ids32, timing, dists = self._search_device_full(q, sp)
         ids_np = np.asarray(ids32).astype(np.int64)
-        dists_np = np.asarray(scores_to_distances(scores, ids32, self.metric))
+        if dists is None:
+            dists = scores_to_distances(scores, ids32, self.metric)
+        dists_np = np.asarray(dists)
         timing.total_time_ns = _now_ns() - t0
         return SearchResult(ids=ids_np, distances=dists_np, timing_info=timing)
+
+    def _search_device_full(self, q, sp: SearchParams):
+        """Like _search_device but may return pre-converted distances from a
+        fused single-dispatch program."""
+        k = max(int(sp.k), 1)
+        use_aps = sp.recall_target > 0.0 and self.parent is not None
+        if (
+            self.parent is not None
+            and not use_aps
+            and self.parent.parent is None
+            and self.mesh is None
+            and int(q.shape[0]) >= 16
+        ):
+            timing = SearchTimingInfo(
+                n_queries=int(q.shape[0]), n_clusters=self.nlist(), search_params=sp
+            )
+            parent_k = min(int(sp.nprobe), self.nlist())
+            qt, group_chunk = self._grouped_params(int(q.shape[0]), parent_k)
+            state = self.store.state
+            pstate = self.parent.store.state
+            scores, ids32, dists, scanned, pids = coordinator.fused_ivf_search(
+                state.codes, state.ids, pstate.codes, pstate.ids, q,
+                k=k, nprobe=parent_k, metric=self.metric,
+                qt=qt, group_chunk=group_chunk,
+            )
+            timing.partitions_scanned = parent_k
+            # The parent scan is fused into the same program; report a stub
+            # entry so the recursive timing shape matches the reference's.
+            timing.parent_info = SearchTimingInfo(
+                n_queries=int(q.shape[0]),
+                n_clusters=self.parent.nlist(),
+                partitions_scanned=self.parent.nlist(),
+            )
+            self._record_hits(pids, scanned)
+            return scores, ids32, timing, dists
+        scores, ids32, timing = self._search_device(q, sp)
+        return scores, ids32, timing, None
+
+    def _grouped_params(self, B: int, parent_k: int):
+        qt = min(128, max(8, next_pow2(2 * B * parent_k // max(self.nlist(), 1) or 1)))
+        slab_bytes = self.store.C * self.d() * 4
+        group_chunk = max(8, min(128, (1 << 27) // max(slab_bytes, 1)))
+        return qt, group_chunk
 
     def _search_device(self, q, sp: SearchParams):
         """Device-resident search; returns (scores, int32 ids, timing)."""
@@ -221,10 +280,7 @@ class QuakeIndex:
             # query_coordinator.cpp:675-799) — the high-throughput path.
             from quake_tpu.ops.grouped import grouped_scan_xla
 
-            B = int(q.shape[0])
-            qt = min(128, max(8, next_pow2(2 * B * parent_k // max(self.nlist(), 1) or 1)))
-            slab_bytes = self.store.C * self.d() * 4
-            group_chunk = max(8, min(128, (1 << 27) // max(slab_bytes, 1)))
+            qt, group_chunk = self._grouped_params(int(q.shape[0]), parent_k)
             scores, ids32, scanned = grouped_scan_xla(
                 state.codes, state.ids, q, pids, k, self.metric,
                 qt=qt, group_chunk=group_chunk,

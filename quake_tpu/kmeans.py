@@ -207,3 +207,44 @@ def lloyd_refine_np(vec_list, id_list, centroids, metric: str = "l2", iterations
                 cents[c] = x[mask].mean(0)
     clusters = [(x[assign == c], ids[assign == c]) for c in range(m)]
     return cents, clusters
+
+
+def balance_clusters(x, centroids, assignments, cap: int, max_rounds: int = 12,
+                     seed: int = 0):
+    """Split oversized clusters until every cluster has <= cap members.
+
+    TPU-native adaptation: the padded store's slab capacity C is set by the
+    LARGEST partition, and every scan streams C rows per partition — so
+    cluster imbalance directly multiplies scan bandwidth. The reference
+    tolerates imbalance (per-partition heap buffers); here we bound it at
+    build time with recursive 2-way splits (the same operation its
+    maintenance uses for hot partitions, partition_manager.cpp:393-445).
+
+    x: [n, d] np; centroids: [nlist, d]; assignments: [n] int.
+    Returns (centroids, assignments) with possibly more clusters.
+    """
+    x = np.asarray(x, dtype=np.float32)
+    centroids = np.asarray(centroids, dtype=np.float32).copy()
+    assignments = np.asarray(assignments).astype(np.int64).copy()
+    for _ in range(max_rounds):
+        nlist = centroids.shape[0]
+        counts = np.bincount(assignments, minlength=nlist)
+        oversized = np.where(counts > cap)[0]
+        if len(oversized) == 0:
+            break
+        new_cents = []
+        for c in oversized:
+            members = np.where(assignments == c)[0]
+            sub_cents, clusters = kmeans_np(
+                x[members], members, 2, niter=4, seed=seed + int(c)
+            )
+            # Guard: degenerate split (all points identical) — leave as-is.
+            if len(clusters[0][1]) == 0 or len(clusters[1][1]) == 0:
+                continue
+            centroids[c] = sub_cents[0]
+            assignments[clusters[1][1]] = nlist + len(new_cents)
+            new_cents.append(sub_cents[1])
+        if not new_cents:
+            break
+        centroids = np.concatenate([centroids, np.stack(new_cents)])
+    return centroids, assignments

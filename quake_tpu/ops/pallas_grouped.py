@@ -1,0 +1,127 @@
+"""Pallas TPU kernel for the partition-major grouped scan.
+
+One grid step per group: the group's partition slab is DMA'd HBM->VMEM by the
+pipeline (BlockSpec indexed by the scalar-prefetched group->partition array —
+so only probed partitions are ever read), the [QT, D] x [D, C] distance
+matmul runs on the MXU, and a fused top-k selects per-query results in VMEM.
+
+This is the TPU replacement for the reference's hot loop
+(scan_list/batched_scan_list, list_scanning.h:241-366): instead of a SIMD
+loop per vector feeding a TopkBuffer, one MXU matmul per (partition,
+query-tile) group with on-chip selection. Zero intermediate HBM traffic:
+each probed partition is read exactly once per batch.
+
+Top-k is k rounds of (max, one-hot select, mask) — avoids dynamic gathers,
+which Mosaic does not lower efficiently; k is small (<=128) so the VPU cost
+is negligible next to the matmul.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from quake_tpu.ops.grouped import _merge_groups, build_groups
+NEG_INF = float("-inf")
+
+
+def _grouped_kernel(metric: str, k: int):
+    def kernel(group_pid_ref, qg_ref, slab_ref, sids_ref, out_s_ref, out_i_ref):
+        g = pl.program_id(0)
+        pid = group_pid_ref[g]
+        qg = qg_ref[0]  # [QT, D]
+        slab = slab_ref[0]  # [C, D]
+        sids = sids_ref[0, 0]  # [C] int32 (block [1, 1, C])
+
+        prod = jax.lax.dot_general(
+            qg,
+            slab,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [QT, C]
+        if metric == "l2":
+            qf = qg.astype(jnp.float32)
+            sf = slab.astype(jnp.float32)
+            q_sq = jnp.sum(qf * qf, axis=1, keepdims=True)  # [QT, 1]
+            s_sq = jnp.sum(sf * sf, axis=1)  # [C]
+            scores = 2.0 * prod - q_sq - s_sq[None, :]
+        else:
+            scores = prod
+
+        valid = (sids >= 0)[None, :] & (pid >= 0)
+        scores = jnp.where(valid, scores, NEG_INF)
+
+        QT, C = scores.shape
+        sids_b = jnp.broadcast_to(sids[None, :], (QT, C))
+
+        def select_round(i, carry):
+            scores_c = carry
+            best = jnp.max(scores_c, axis=1, keepdims=True)  # [QT, 1]
+            is_best = scores_c == best
+            # Break ties to the first column.
+            col = jax.lax.broadcasted_iota(jnp.int32, (QT, C), 1)
+            first = jnp.min(jnp.where(is_best, col, C), axis=1, keepdims=True)
+            onehot = col == first
+            best_id = jnp.max(jnp.where(onehot, sids_b, -1), axis=1)
+            best_id = jnp.where(best[:, 0] == NEG_INF, -1, best_id)
+            out_s_ref[0, :, i] = best[:, 0]
+            out_i_ref[0, :, i] = best_id
+            return jnp.where(onehot, NEG_INF, scores_c)
+
+        lax.fori_loop(0, k, select_round, scores)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("k", "metric", "qt", "interpret"))
+def grouped_scan_pallas(codes, ids, q, pids, k: int, metric: str, qt: int = 64,
+                        interpret: bool = False):
+    """Drop-in replacement for grouped_scan_xla on TPU.
+
+    codes [P, C, D], ids [P, C], q [B, D], pids [B, nprobe] int32.
+    Returns (scores [B, k], ids [B, k], partitions_scanned [B]).
+    """
+    B, D = q.shape
+    P, C, _ = codes.shape
+    kk = min(k, C)
+    group_pid, qlist, pair_group, pair_slot = build_groups(pids, P, qt)
+    G = group_pid.shape[0]
+
+    # Pre-gather the query tiles (small: G*QT*D).
+    safe_q = jnp.where(qlist >= 0, qlist, 0)
+    qg = q.astype(codes.dtype)[safe_q]  # [G, QT, D]
+    # Mask padded query slots by zeroing — their results are dropped by the
+    # epilogue (pair_group == -1 never points at them), but keep scores
+    # finite to avoid NaNs.
+    kernel = _grouped_kernel(metric, kk)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(G,),
+        in_specs=[
+            pl.BlockSpec((1, qt, D), lambda g, gp: (g, 0, 0)),
+            pl.BlockSpec((1, C, D), lambda g, gp: (jnp.maximum(gp[g], 0), 0, 0)),
+            pl.BlockSpec((1, 1, C), lambda g, gp: (jnp.maximum(gp[g], 0), 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, qt, kk), lambda g, gp: (g, 0, 0)),
+            pl.BlockSpec((1, qt, kk), lambda g, gp: (g, 0, 0)),
+        ],
+    )
+    out_shape = [
+        jax.ShapeDtypeStruct((G, qt, kk), jnp.float32),
+        jax.ShapeDtypeStruct((G, qt, kk), jnp.int32),
+    ]
+    g_scores, g_ids = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(group_pid, qg, codes, ids.reshape(P, 1, C))
+
+    return _merge_groups(g_scores, g_ids, pair_group, pair_slot, pids, k, kk)

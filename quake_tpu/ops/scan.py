@@ -36,10 +36,22 @@ def merge_topk(scores_a, ids_a, scores_b, ids_b, k: int):
     return topk_from_scores(scores, ids, k)
 
 
+APPROX_TOPK_THRESHOLD = 1024  # beyond this row width, use the tiled reducer
+
+
 def topk_from_scores(scores, ids, k: int):
-    """Select top-k by score, gathering ids along. scores [B, M], ids [B, M]."""
+    """Select top-k by score, gathering ids along. scores [B, M], ids [B, M].
+
+    For wide rows this uses lax.approx_max_k — the TPU-optimized tiled
+    max-reduction from "TPU-KNN: K Nearest Neighbor Search at Peak FLOP/s"
+    (exact on CPU; recall_target=0.99 on TPU) — because lax.top_k lowers to a
+    full sort, which costs ~1000x more than the distance matmul it follows.
+    """
     k = min(k, scores.shape[1])
-    top_scores, idx = lax.top_k(scores, k)
+    if scores.shape[1] > APPROX_TOPK_THRESHOLD and k <= 128:
+        top_scores, idx = lax.approx_max_k(scores, k, recall_target=0.99)
+    else:
+        top_scores, idx = lax.top_k(scores, k)
     top_ids = jnp.take_along_axis(ids, idx, axis=1)
     # Squash ids of -inf entries to -1 so padding never leaks a real-looking id.
     top_ids = jnp.where(top_scores == NEG_INF, jnp.int32(-1), top_ids)

@@ -98,6 +98,9 @@ class IndexBuildParams:
     # --- TPU extensions ---
     precision: str = "f32"
     num_shards: int = 0
+    # Split clusters above ~1.5x mean size at build so slab padding (set by
+    # the largest partition) stays bounded. May grow nlist slightly.
+    balance_partitions: bool = True
 
 
 @dataclass

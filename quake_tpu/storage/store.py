@@ -27,7 +27,7 @@ from jax import lax
 from quake_tpu.storage.idmap import make_id_map
 from quake_tpu.utils import next_pow2, to_f32, to_i64
 
-MIN_CAPACITY = 1024  # initial per-partition capacity (index_partition.cpp:247-255)
+MIN_CAPACITY = 256  # initial per-partition capacity floor (one scan tile)
 
 
 @jax.tree_util.register_dataclass
@@ -271,7 +271,11 @@ class PartitionStore:
         assigns_np = np.asarray(assignments)
         nlist = int(np.asarray(centroids).shape[0])
         counts = np.bincount(assigns_np, minlength=nlist)
-        C = next_pow2(int(counts.max(initial=1)), MIN_CAPACITY)
+        # Round capacity to a 256-row tile multiple (not pow2): with
+        # build-time balancing the max partition is ~1.5x the mean, and C
+        # directly multiplies every scan's HBM traffic.
+        max_count = int(counts.max(initial=1))
+        C = max(MIN_CAPACITY, -(-max_count // 256) * 256)
         P = next_pow2(nlist, 8)
         self.state = _init_from_assignments(
             jnp.asarray(x, self.dtype),

@@ -1,0 +1,35 @@
+"""Pallas grouped-scan kernel: interpret-mode parity with the XLA backend
+(compiled-mode parity is exercised on real TPU by bench/driver runs)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from quake_tpu.ops.grouped import grouped_scan_xla
+from quake_tpu.ops.pallas_grouped import grouped_scan_pallas
+
+
+@pytest.mark.parametrize("metric", ["l2", "ip"])
+def test_pallas_interpret_matches_xla(metric):
+    rng = np.random.default_rng(0)
+    P, C, D, B, nprobe, k, qt = 8, 128, 16, 12, 3, 5, 8
+    codes = rng.standard_normal((P, C, D)).astype(np.float32)
+    ids = np.arange(P * C, dtype=np.int32).reshape(P, C)
+    for p in range(P):
+        ids[p, rng.integers(C // 2, C + 1):] = -1
+    q = rng.standard_normal((B, D)).astype(np.float32)
+    pids = rng.integers(0, P, (B, nprobe)).astype(np.int32)
+    pids[0, 1:] = -1
+
+    s1, i1, n1 = grouped_scan_xla(
+        jnp.asarray(codes), jnp.asarray(ids), jnp.asarray(q), jnp.asarray(pids),
+        k, metric, qt=qt, group_chunk=4,
+    )
+    s2, i2, n2 = grouped_scan_pallas(
+        jnp.asarray(codes), jnp.asarray(ids), jnp.asarray(q), jnp.asarray(pids),
+        k, metric, qt=qt, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), rtol=1e-5, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(n1), np.asarray(n2))
+    for b in range(B):
+        assert set(np.asarray(i1)[b].tolist()) == set(np.asarray(i2)[b].tolist())
