@@ -177,7 +177,6 @@ class QuakeIndex:
             self.parent is not None
             and not use_aps
             and self.parent.parent is None
-            and self.mesh is None
             and int(q.shape[0]) >= 16
         ):
             timing = SearchTimingInfo(
@@ -187,11 +186,27 @@ class QuakeIndex:
             qt, group_chunk = self._grouped_params(int(q.shape[0]), parent_k)
             state = self.store.state
             pstate = self.parent.store.state
-            scores, ids32, dists, scanned, pids = coordinator.fused_ivf_search(
-                state.codes, state.ids, pstate.codes, pstate.ids, q,
-                k=k, nprobe=parent_k, metric=self.metric,
-                qt=qt, group_chunk=group_chunk,
-            )
+            if self.mesh is not None:
+                from quake_tpu.parallel.sharded import (
+                    _detect_slot_sharded,
+                    sharded_fused_search,
+                )
+
+                if not _detect_slot_sharded(state.codes):
+                    # Partition-block sharding: fall back to the unfused path.
+                    scores, ids32, timing = self._search_device(q, sp)
+                    return scores, ids32, timing, None
+                scores, ids32, dists, scanned, pids = sharded_fused_search(
+                    self.mesh, state.codes, state.ids, pstate.codes, pstate.ids,
+                    q, k=k, nprobe=parent_k, metric=self.metric,
+                    qt=qt, group_chunk=group_chunk,
+                )
+            else:
+                scores, ids32, dists, scanned, pids = coordinator.fused_ivf_search(
+                    state.codes, state.ids, pstate.codes, pstate.ids, q,
+                    k=k, nprobe=parent_k, metric=self.metric,
+                    qt=qt, group_chunk=group_chunk,
+                )
             timing.partitions_scanned = parent_k
             # The parent scan is fused into the same program; report a stub
             # entry so the recursive timing shape matches the reference's.

@@ -58,22 +58,32 @@ def _grouped_kernel(metric: str, k: int):
 
         QT, C = scores.shape
         sids_b = jnp.broadcast_to(sids[None, :], (QT, C))
+        col = jax.lax.broadcasted_iota(jnp.int32, (QT, C), 1)
+        out_lane = jax.lax.broadcasted_iota(jnp.int32, (QT, k), 1)
 
         def select_round(i, carry):
-            scores_c = carry
+            # Masked-lane accumulation: Mosaic cannot store to a dynamic
+            # minor-dim column, so build [QT, k] outputs in the carry with
+            # (lane == i) selects and write once after the loop.
+            scores_c, outv, outi = carry
             best = jnp.max(scores_c, axis=1, keepdims=True)  # [QT, 1]
-            is_best = scores_c == best
-            # Break ties to the first column.
-            col = jax.lax.broadcasted_iota(jnp.int32, (QT, C), 1)
-            first = jnp.min(jnp.where(is_best, col, C), axis=1, keepdims=True)
+            first = jnp.min(jnp.where(scores_c == best, col, C), axis=1, keepdims=True)
             onehot = col == first
-            best_id = jnp.max(jnp.where(onehot, sids_b, -1), axis=1)
-            best_id = jnp.where(best[:, 0] == NEG_INF, -1, best_id)
-            out_s_ref[0, :, i] = best[:, 0]
-            out_i_ref[0, :, i] = best_id
-            return jnp.where(onehot, NEG_INF, scores_c)
+            best_id = jnp.max(jnp.where(onehot, sids_b, -1), axis=1, keepdims=True)
+            best_id = jnp.where(best == NEG_INF, -1, best_id)
+            lane = out_lane == i
+            outv = jnp.where(lane, best, outv)
+            outi = jnp.where(lane, best_id, outi)
+            return jnp.where(onehot, NEG_INF, scores_c), outv, outi
 
-        lax.fori_loop(0, k, select_round, scores)
+        init = (
+            scores,
+            jnp.full((QT, k), NEG_INF, jnp.float32),
+            jnp.full((QT, k), -1, jnp.int32),
+        )
+        _, outv, outi = lax.fori_loop(0, k, select_round, init)
+        out_s_ref[0] = outv
+        out_i_ref[0] = outi
 
     return kernel
 

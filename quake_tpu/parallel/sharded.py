@@ -143,3 +143,39 @@ def sharded_kmeans_step(mesh, x_sharded, centroids, metric: str = "l2"):
         check_vma=False,
     )
     return fn(x_sharded, centroids)
+
+
+def sharded_fused_search(mesh, codes, ids, parent_codes, parent_ids, q,
+                         k: int, nprobe: int, metric: str,
+                         qt: int = 64, group_chunk: int = 64):
+    """End-to-end fixed-nprobe search over the mesh as one program:
+    replicated parent centroid scan -> per-shard partition-major grouped scan
+    of the local slab slice -> all_gather top-k merge -> distances.
+
+    Works with slot sharding (codes [P, C, D] sharded on axis 1): every
+    device scans its 1/ndev slice of each probed partition, so the grouped
+    scan's bandwidth splits evenly across the mesh.
+    """
+    from quake_tpu.ops.grouped import grouped_scan_xla
+    from quake_tpu.ops.scan import scores_to_distances
+
+    def local(codes_l, ids_l, pcodes_l, pids_l, q_l):
+        Pp, Cp, D = pcodes_l.shape
+        _, probe = flat_scan(
+            q_l, pcodes_l.reshape(Pp * Cp, D), pids_l.reshape(Pp * Cp),
+            nprobe, metric,
+        )
+        s, i, scanned = grouped_scan_xla(
+            codes_l, ids_l, q_l, probe, k, metric, qt=qt, group_chunk=group_chunk
+        )
+        ms, mi = _merge_gathered(s, i, k, SHARD_AXIS)
+        return ms, mi, scores_to_distances(ms, mi, metric), scanned, probe
+
+    fn = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(None, SHARD_AXIS), P(None, SHARD_AXIS), P(), P(), P()),
+        out_specs=(P(), P(), P(), P(), P()),
+        check_vma=False,
+    )
+    return fn(codes, ids, parent_codes, parent_ids, q)

@@ -26,6 +26,10 @@ def get_index_class(index_name: str):
         from quake_tpu.wrappers.brute import BruteForceWrapper as IndexClass
     elif index_name == "DiskANN":
         from quake_tpu.wrappers.diskann import DiskANNDynamic as IndexClass
+    elif index_name == "ScaNN":
+        from quake_tpu.wrappers.scann import ScaNNWrapper as IndexClass
+    elif index_name == "SVS":
+        from quake_tpu.wrappers.vamana import SVSVamana as IndexClass
     else:
         raise ValueError(f"Unknown index type: {index_name}")
     return IndexClass
