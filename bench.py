@@ -17,12 +17,16 @@ import time
 import numpy as np
 
 
-def make_clustered(n, d, n_centers, seed=0, spread=1.5):
-    rng = np.random.default_rng(seed)
-    centers = rng.standard_normal((n_centers, d)).astype(np.float32) * spread
-    assign = rng.integers(0, n_centers, n)
-    x = centers[assign] + rng.standard_normal((n, d)).astype(np.float32)
-    return x.astype(np.float32)
+def make_manifold(n, d, n_centers, seed, zdim=16, spread=1.5):
+    """SIFT-like synthetic: clustered data on a low-dimensional manifold
+    embedded in d dims — gives the gradual recall-vs-nprobe curve real image
+    descriptors have (calibrated: ~0.9 recall@10 at ~3% of partitions)."""
+    rng = np.random.default_rng(99)  # shared manifold/centers across calls
+    A = rng.standard_normal((zdim, d)).astype(np.float32) / np.sqrt(zdim)
+    centers = rng.standard_normal((n_centers, zdim)).astype(np.float32) * spread
+    r = np.random.default_rng(seed)
+    z = centers[r.integers(0, n_centers, n)] + r.standard_normal((n, zdim)).astype(np.float32)
+    return (z @ A + 0.05 * r.standard_normal((n, d)).astype(np.float32)).astype(np.float32)
 
 
 def main():
@@ -36,9 +40,9 @@ def main():
     N, D, NLIST, K = 1_000_000, 128, 1024, 10
     NQ_GT, BATCH, N_BATCHES = 1024, 1024, 16
 
-    x = make_clustered(N, D, 2048, seed=1)
+    x = make_manifold(N, D, 4096, seed=1)
     ids = np.arange(N, dtype=np.int64)
-    queries = make_clustered(BATCH * N_BATCHES, D, 2048, seed=7)
+    queries = make_manifold(BATCH * N_BATCHES, D, 4096, seed=7)
     q_gt = queries[:NQ_GT]
 
     t0 = time.perf_counter()
@@ -54,7 +58,7 @@ def main():
     # Find the smallest nprobe achieving >= 0.9 recall@10.
     chosen = None
     r = 0.0
-    for nprobe in (4, 8, 16, 24, 32, 48, 64, 96, 128):
+    for nprobe in (16, 32, 64, 96, 128):
         res = idx.search(q_gt, SearchParams(k=K, nprobe=nprobe))
         r = compute_recall(res.ids, gt_ids, K)
         if r >= 0.90:

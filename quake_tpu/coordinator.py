@@ -60,7 +60,7 @@ def _scan_rank(q, q_sq, pid_col, codes, ids, k: int, metric: str):
         scores = prod
     slot_ok = (sids >= 0) & valid[:, None]
     scores = jnp.where(slot_ok, scores, NEG_INF)
-    return topk_from_scores(scores, sids, min(k, scores.shape[1]))
+    return topk_from_scores(scores, sids, min(k, scores.shape[1]), approx=True)
 
 
 @functools.partial(
@@ -160,11 +160,12 @@ def aps_search(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("k", "nprobe", "metric", "qt", "group_chunk"),
+    static_argnames=("k", "nprobe", "metric", "qt", "group_chunk", "use_pallas"),
 )
 def fused_ivf_search(
     codes, ids, parent_codes, parent_ids, q,
     k: int, nprobe: int, metric: str, qt: int, group_chunk: int,
+    use_pallas: bool = False,
 ):
     """End-to-end fixed-nprobe search as ONE device program: parent centroid
     scan -> partition-major grouped scan -> top-k merge -> distance
@@ -182,9 +183,16 @@ def fused_ivf_search(
         q, parent_codes.reshape(Pp * Cp, D), parent_ids.reshape(Pp * Cp),
         nprobe, metric,
     )
-    scores, ids32, scanned = grouped_scan_xla(
-        codes, ids, q, pids, k, metric, qt=qt, group_chunk=group_chunk
-    )
+    if use_pallas:
+        from quake_tpu.ops.pallas_grouped import grouped_scan_pallas
+
+        scores, ids32, scanned = grouped_scan_pallas(
+            codes, ids, q, pids, k, metric, qt=qt
+        )
+    else:
+        scores, ids32, scanned = grouped_scan_xla(
+            codes, ids, q, pids, k, metric, qt=qt, group_chunk=group_chunk
+        )
     dists = scores_to_distances(scores, ids32, metric)
     return scores, ids32, dists, scanned, pids
 

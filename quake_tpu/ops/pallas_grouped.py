@@ -135,3 +135,81 @@ def grouped_scan_pallas(codes, ids, q, pids, k: int, metric: str, qt: int = 64,
     )(group_pid, qg, codes, ids.reshape(P, 1, C))
 
     return _merge_groups(g_scores, g_ids, pair_group, pair_slot, pids, k, kk)
+
+
+def _scores_kernel(metric: str):
+    """Variant kernel: write raw [QT, C] scores to HBM; selection happens
+    outside with XLA's tiled reducer (approx_max_k). Trades one extra HBM
+    round-trip of the score matrix for removing the VPU-bound k-round
+    selection from the kernel's critical path."""
+
+    def kernel(group_pid_ref, qg_ref, slab_ref, sids_ref, out_ref):
+        g = pl.program_id(0)
+        pid = group_pid_ref[g]
+        qg = qg_ref[0]
+        slab = slab_ref[0]
+        sids = sids_ref[0, 0]
+        prod = jax.lax.dot_general(
+            qg,
+            slab,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        if metric == "l2":
+            qf = qg.astype(jnp.float32)
+            sf = slab.astype(jnp.float32)
+            q_sq = jnp.sum(qf * qf, axis=1, keepdims=True)
+            s_sq = jnp.sum(sf * sf, axis=1)
+            scores = 2.0 * prod - q_sq - s_sq[None, :]
+        else:
+            scores = prod
+        valid = (sids >= 0)[None, :] & (pid >= 0)
+        out_ref[0] = jnp.where(valid, scores, NEG_INF)
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "metric", "qt", "interpret")
+)
+def grouped_scan_pallas_approx(codes, ids, q, pids, k: int, metric: str,
+                               qt: int = 64, interpret: bool = False):
+    """Pallas matmul + XLA approx_max_k selection variant of
+    grouped_scan_pallas. Same signature/returns."""
+    from quake_tpu.ops.scan import topk_from_scores
+
+    B, D = q.shape
+    P, C, _ = codes.shape
+    kk = min(k, C)
+    group_pid, qlist, pair_group, pair_slot = build_groups(pids, P, qt)
+    G = group_pid.shape[0]
+    safe_q = jnp.where(qlist >= 0, qlist, 0)
+    qg = q.astype(codes.dtype)[safe_q]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(G,),
+        in_specs=[
+            pl.BlockSpec((1, qt, D), lambda g, gp: (g, 0, 0)),
+            pl.BlockSpec((1, C, D), lambda g, gp: (jnp.maximum(gp[g], 0), 0, 0)),
+            pl.BlockSpec((1, 1, C), lambda g, gp: (jnp.maximum(gp[g], 0), 0, 0)),
+        ],
+        out_specs=[pl.BlockSpec((1, qt, C), lambda g, gp: (g, 0, 0))],
+    )
+    (scores_hbm,) = pl.pallas_call(
+        _scores_kernel(metric),
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((G, qt, C), jnp.float32)],
+        interpret=interpret,
+    )(group_pid, qg, codes, ids.reshape(P, 1, C))
+
+    sids = ids[jnp.maximum(group_pid, 0)]  # [G, C]
+    g_scores, g_idx = topk_from_scores(
+        scores_hbm.reshape(G * qt, C),
+        jnp.broadcast_to(sids[:, None, :], (G, qt, C)).reshape(G * qt, C),
+        kk,
+        approx=True,
+    )
+    g_scores = g_scores.reshape(G, qt, kk)
+    g_ids = g_idx.reshape(G, qt, kk)
+    return _merge_groups(g_scores, g_ids, pair_group, pair_slot, pids, k, kk)

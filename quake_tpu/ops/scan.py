@@ -36,19 +36,18 @@ def merge_topk(scores_a, ids_a, scores_b, ids_b, k: int):
     return topk_from_scores(scores, ids, k)
 
 
-APPROX_TOPK_THRESHOLD = 1024  # beyond this row width, use the tiled reducer
-
-
-def topk_from_scores(scores, ids, k: int):
+def topk_from_scores(scores, ids, k: int, approx: bool = False):
     """Select top-k by score, gathering ids along. scores [B, M], ids [B, M].
 
-    For wide rows this uses lax.approx_max_k — the TPU-optimized tiled
-    max-reduction from "TPU-KNN: K Nearest Neighbor Search at Peak FLOP/s"
-    (exact on CPU; recall_target=0.99 on TPU) — because lax.top_k lowers to a
-    full sort, which costs ~1000x more than the distance matmul it follows.
+    With approx=True, wide rows use lax.approx_max_k — the TPU-optimized
+    tiled max-reduction from "TPU-KNN: K Nearest Neighbor Search at Peak
+    FLOP/s" (exact on CPU; recall_target=0.99 on TPU) — because lax.top_k
+    lowers to a full sort costing ~1000x the distance matmul it follows.
+    Only the grouped-scan block selections opt in; flat (exact-mode) scans
+    and result merges stay exact so flat search keeps recall 1.0.
     """
     k = min(k, scores.shape[1])
-    if scores.shape[1] > APPROX_TOPK_THRESHOLD and k <= 128:
+    if approx and scores.shape[1] > 256 and k <= 128:
         top_scores, idx = lax.approx_max_k(scores, k, recall_target=0.99)
     else:
         top_scores, idx = lax.top_k(scores, k)
@@ -161,7 +160,7 @@ def ivf_scan(q, pids, codes, ids, sizes, k: int, metric: str = "l2"):
             scores = prod
         slot_ok = (sids >= 0) & valid[:, None]
         scores = jnp.where(slot_ok, scores, NEG_INF)
-        s, i = topk_from_scores(scores, sids, k)
+        s, i = topk_from_scores(scores, sids, k, approx=True)
         merged = merge_topk(c_scores, c_ids, s, i, k)
         return (merged[0], merged[1], n_scanned + valid.astype(jnp.int32)), None
 

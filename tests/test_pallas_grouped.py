@@ -6,11 +6,12 @@ import numpy as np
 import pytest
 
 from quake_tpu.ops.grouped import grouped_scan_xla
-from quake_tpu.ops.pallas_grouped import grouped_scan_pallas
+from quake_tpu.ops.pallas_grouped import grouped_scan_pallas, grouped_scan_pallas_approx
 
 
+@pytest.mark.parametrize("variant", [grouped_scan_pallas, grouped_scan_pallas_approx])
 @pytest.mark.parametrize("metric", ["l2", "ip"])
-def test_pallas_interpret_matches_xla(metric):
+def test_pallas_interpret_matches_xla(metric, variant):
     rng = np.random.default_rng(0)
     P, C, D, B, nprobe, k, qt = 8, 128, 16, 12, 3, 5, 8
     codes = rng.standard_normal((P, C, D)).astype(np.float32)
@@ -25,7 +26,7 @@ def test_pallas_interpret_matches_xla(metric):
         jnp.asarray(codes), jnp.asarray(ids), jnp.asarray(q), jnp.asarray(pids),
         k, metric, qt=qt, group_chunk=4,
     )
-    s2, i2, n2 = grouped_scan_pallas(
+    s2, i2, n2 = variant(
         jnp.asarray(codes), jnp.asarray(ids), jnp.asarray(q), jnp.asarray(pids),
         k, metric, qt=qt, interpret=True,
     )

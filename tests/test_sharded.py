@@ -100,3 +100,27 @@ def test_sharded_kmeans_step_matches_replicated():
     ])
     np.testing.assert_allclose(np.asarray(new_c), expected, rtol=1e-4, atol=1e-4)
     np.testing.assert_array_equal(np.asarray(assigns), a)
+
+
+def test_sharded_maintenance_and_validate(small_data):
+    """Maintenance (split/delete/refine) operates correctly on a sharded
+    store: host policy code + donated functional updates with sharding
+    propagation."""
+    from quake_tpu import MaintenancePolicyParams
+
+    x, ids, q = small_data
+    idx = QuakeIndex()
+    idx.build(x, ids, IndexBuildParams(nlist=16, num_shards=len(jax.devices())))
+    idx.initialize_maintenance_policy(
+        MaintenancePolicyParams(window_size=20, split_threshold_ns=0.0,
+                                refinement_radius=4)
+    )
+    for _ in range(25):
+        idx.maintenance_policy.record_query_hits([0, 1])
+    ntotal = idx.ntotal()
+    idx.maintenance()
+    assert idx.ntotal() == ntotal
+    assert idx.validate()
+    res = idx.search(q, SearchParams(k=10, nprobe=idx.nlist()))
+    gt_ids, _ = knn(q, x, 10, "l2")
+    assert compute_recall(res.ids, gt_ids, 10) >= 0.99
