@@ -230,7 +230,10 @@ class QuakeIndex:
             return False
 
     def _grouped_params(self, B: int, parent_k: int):
-        qt = min(128, max(8, next_pow2(2 * B * parent_k // max(self.nlist(), 1) or 1)))
+        # qt tracks expected queries-per-partition, capped at 32: the
+        # selection cost's U*QT term grows with qt while DMA re-reads shrink;
+        # measured optimum on v5e sits at 32 across nprobe 16-48.
+        qt = min(32, max(8, next_pow2(B * parent_k // max(self.nlist(), 1) or 1)))
         slab_bytes = self.store.C * self.d() * 4
         group_chunk = max(8, min(128, (1 << 27) // max(slab_bytes, 1)))
         return qt, group_chunk

@@ -58,23 +58,26 @@ def _grouped_kernel(metric: str, k: int):
 
         QT, C = scores.shape
         sids_b = jnp.broadcast_to(sids[None, :], (QT, C))
-        col = jax.lax.broadcasted_iota(jnp.int32, (QT, C), 1)
         out_lane = jax.lax.broadcasted_iota(jnp.int32, (QT, k), 1)
 
         def select_round(i, carry):
             # Masked-lane accumulation: Mosaic cannot store to a dynamic
             # minor-dim column, so build [QT, k] outputs in the carry with
             # (lane == i) selects and write once after the loop.
+            # Tie-break by max id (ties = duplicate vectors); the mask
+            # clears exactly the (score, id) winner, so duplicates surface
+            # on subsequent rounds — exact semantics, fewer VPU passes than
+            # a leftmost-column tie-break.
             scores_c, outv, outi = carry
             best = jnp.max(scores_c, axis=1, keepdims=True)  # [QT, 1]
-            first = jnp.min(jnp.where(scores_c == best, col, C), axis=1, keepdims=True)
-            onehot = col == first
-            best_id = jnp.max(jnp.where(onehot, sids_b, -1), axis=1, keepdims=True)
+            is_best = scores_c == best
+            best_id = jnp.max(jnp.where(is_best, sids_b, -1), axis=1, keepdims=True)
+            winner = is_best & (sids_b == best_id)
             best_id = jnp.where(best == NEG_INF, -1, best_id)
             lane = out_lane == i
             outv = jnp.where(lane, best, outv)
             outi = jnp.where(lane, best_id, outi)
-            return jnp.where(onehot, NEG_INF, scores_c), outv, outi
+            return jnp.where(winner, NEG_INF, scores_c), outv, outi
 
         init = (
             scores,
