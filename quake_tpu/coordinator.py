@@ -149,8 +149,12 @@ def aps_search(
         probs = jnp.where(recompute[:, None], probs_new, probs)
         radius = jnp.where(recompute, radius_new, radius)
 
+        # Reference semantics are EXCLUSIVE of the most recent partition
+        # (serial_scan sums probs[i] for i < p, query_coordinator.cpp:573-576)
+        # — slightly conservative, which also compensates the cap model's
+        # optimism on non-uniform (manifold) data.
         ranks_scanned = jnp.minimum((i + 1) * chunk, M)
-        cum = jnp.sum(jnp.where(rank_idx < ranks_scanned, probs, 0.0), axis=1)
+        cum = jnp.sum(jnp.where(rank_idx < ranks_scanned - 1, probs, 0.0), axis=1)
         active = active & (cum < recall_target)
         return (i + 1, scores, sids, radius, probs, active, scanned + n_new)
 

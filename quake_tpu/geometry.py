@@ -30,15 +30,58 @@ from jax.scipy.special import betainc
 NUM_X_VALUES = 1001  # geometry.h:7
 
 
+def _betainc_lentz(a: float, b: float, x: float, iters: int = 500) -> float:
+    """Host-side regularized incomplete beta via Lentz continued fractions —
+    the reference's exact algorithm (geometry.h:115-161)."""
+    import math
+
+    if x <= 0.0:
+        return 0.0
+    if x >= 1.0:
+        return 1.0
+    if x > (a + 1.0) / (a + b + 2.0):
+        return 1.0 - _betainc_lentz(b, a, 1.0 - x, iters)
+    lbeta = math.lgamma(a) + math.lgamma(b) - math.lgamma(a + b)
+    front = math.exp(math.log(x) * a + math.log1p(-x) * b - lbeta) / a
+    f, c, d = 1.0, 1.0, 0.0
+    tiny = 1e-30
+    for i in range(iters):
+        m = i // 2
+        if i == 0:
+            num = 1.0
+        elif i % 2 == 0:
+            num = (m * (b - m) * x) / ((a + 2 * m - 1) * (a + 2 * m))
+        else:
+            num = -((a + m) * (a + b + m) * x) / ((a + 2 * m) * (a + 2 * m + 1))
+        d = 1.0 + num * d
+        if abs(d) < tiny:
+            d = tiny
+        d = 1.0 / d
+        c = 1.0 + num / c
+        if abs(c) < tiny:
+            c = tiny
+        f *= c * d
+        if abs(1.0 - c * d) < 1e-8:
+            break
+    return front * (f - 1.0)
+
+
 @functools.lru_cache(maxsize=None)
+def _beta_table_np(dimension: int, metric: str):
+    import numpy as np
+
+    a = (dimension + 1.0) / 2.0 if metric == "l2" else (dimension - 1.0) / 2.0
+    xs = [i / (NUM_X_VALUES - 1) for i in range(NUM_X_VALUES)]
+    return np.array([_betainc_lentz(a, 0.5, x) for x in xs], dtype=np.float32)
+
+
 def beta_table(dimension: int, metric: str = "l2"):
-    """Precomputed I_x(a, 1/2) on a 1001-point grid (geometry.h:163-179)."""
-    if metric == "l2":
-        a = (dimension + 1.0) / 2.0
-    else:
-        a = (dimension - 1.0) / 2.0
-    x = jnp.linspace(0.0, 1.0, NUM_X_VALUES, dtype=jnp.float32)
-    return betainc(jnp.float32(a), jnp.float32(0.5), x)
+    """Precomputed I_x(a, 1/2) on a 1001-point grid (geometry.h:163-179).
+
+    Computed on host (Lentz) so the result is a concrete constant even when
+    first requested inside a jit trace — caching a traced jnp computation
+    would leak tracers through the lru_cache."""
+    return jnp.asarray(_beta_table_np(dimension, metric))
 
 
 def beta_lookup(x, table):

@@ -216,3 +216,189 @@ def grouped_scan_pallas_approx(codes, ids, q, pids, k: int, metric: str,
     g_scores = g_scores.reshape(G, qt, kk)
     g_ids = g_idx.reshape(G, qt, kk)
     return _merge_groups(g_scores, g_ids, pair_group, pair_slot, pids, k, kk)
+
+
+def _sized_kernel(metric: str, k: int, ct: int, max_tiles: int):
+    """Size-aware tile-streamed kernel body. EXPERIMENTAL — measured SLOWER
+    than the whole-slab kernel on v5e (22-32ms vs 10.6ms at B=1024,
+    nprobe=16, 1M x 128, ~75% fill): the per-tile top-k merge multiplies
+    selection rounds faster than size-awareness saves DMA. Kept as the
+    starting point for a future capacity-class design; grouped_scan_pallas
+    is the production kernel.
+
+    Manually DMAs ceil(size/CT) row-tiles of the group's partition from HBM
+    (double-buffered), so padded capacity beyond the partition's true size is
+    never read nor scanned — DMA and selection cost track the REAL data
+    volume (the reference's scan cost is size-proportional too;
+    list_scanning.h:241-263). Emits (score, slot) pairs; slot->vector-id
+    conversion happens in the XLA epilogue (one small gather), so the ids
+    array is never touched by the kernel.
+    """
+
+    def kernel(group_pid_ref, group_size_ref, qg_ref, codes_hbm, out_s_ref,
+               out_i_ref, slab, sem):
+        g = pl.program_id(0)
+        pid = jnp.maximum(group_pid_ref[g], 0)
+        size = jnp.where(group_pid_ref[g] >= 0, group_size_ref[g], 0)
+        n_tiles = (size + ct - 1) // ct
+        qg = qg_ref[0]  # [QT, D]
+        QT = qg.shape[0]
+        q_sq = None
+        if metric == "l2":
+            qf = qg.astype(jnp.float32)
+            q_sq = jnp.sum(qf * qf, axis=1, keepdims=True)
+
+        def tile_dma(slot, t):
+            return pltpu.make_async_copy(
+                codes_hbm.at[pid, pl.ds(t * ct, ct), :],
+                slab.at[slot],
+                sem.at[slot],
+            )
+
+        @pl.when(n_tiles > 0)
+        def _():
+            tile_dma(0, 0).start()
+
+        out_lane = jax.lax.broadcasted_iota(jnp.int32, (QT, k), 1)
+        row_iota = jax.lax.broadcasted_iota(jnp.int32, (QT, ct), 1)
+
+        def tile_body(t, carry):
+            outv, outi = carry
+            slot = jax.lax.rem(t, 2)
+
+            @pl.when(t + 1 < n_tiles)
+            def _():
+                tile_dma(1 - slot, t + 1).start()
+
+            tile_dma(slot, t).wait()
+            tile = slab[slot]  # [CT, D]
+            prod = jax.lax.dot_general(
+                qg, tile,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [QT, CT]
+            if metric == "l2":
+                tf = tile.astype(jnp.float32)
+                t_sq = jnp.sum(tf * tf, axis=1)
+                scores = 2.0 * prod - q_sq - t_sq[None, :]
+            else:
+                scores = prod
+            rem = size - t * ct
+            slot_idx = t * ct + row_iota  # global slot of each lane
+            scores = jnp.where(row_iota < rem, scores, NEG_INF)
+
+            # Merge this tile's top-k into the running top-k: k rounds over
+            # the tile, then the running lists are refreshed by comparing
+            # per round against the carry (done jointly: each round picks
+            # the max of (remaining tile lanes U remaining carry entries)).
+            def select_round(i, c):
+                scores_c, outv_c, outi_c, carry_s, carry_i = c
+                tile_best = jnp.max(scores_c, axis=1, keepdims=True)
+                carry_best = jnp.max(carry_s, axis=1, keepdims=True)
+                take_tile = tile_best >= carry_best
+                best = jnp.maximum(tile_best, carry_best)
+                # winner slot/index from whichever side won
+                is_best_t = (scores_c == tile_best) & take_tile
+                win_slot_t = jnp.max(jnp.where(is_best_t, slot_idx, -1), axis=1,
+                                     keepdims=True)
+                is_best_c = (carry_s == carry_best) & ~take_tile
+                lane_k = jax.lax.broadcasted_iota(jnp.int32, carry_s.shape, 1)
+                win_lane_c = jnp.max(jnp.where(is_best_c, lane_k, -1), axis=1,
+                                     keepdims=True)
+                win_idx_c = jnp.max(
+                    jnp.where(lane_k == win_lane_c, carry_i, -1), axis=1,
+                    keepdims=True,
+                )
+                win = jnp.where(take_tile, win_slot_t, win_idx_c)
+                win = jnp.where(best == NEG_INF, -1, win)
+                lane = out_lane == i
+                outv_c = jnp.where(lane, best, outv_c)
+                outi_c = jnp.where(lane, win, outi_c)
+                # clear the winner on its side
+                scores_c = jnp.where(
+                    (slot_idx == win_slot_t) & take_tile, NEG_INF, scores_c
+                )
+                carry_s = jnp.where(
+                    (lane_k == win_lane_c) & ~take_tile, NEG_INF, carry_s
+                )
+                return scores_c, outv_c, outi_c, carry_s, carry_i
+
+            init = (
+                scores,
+                jnp.full((QT, k), NEG_INF, jnp.float32),
+                jnp.full((QT, k), -1, jnp.int32),
+                outv,
+                outi,
+            )
+            _, outv2, outi2, _, _ = lax.fori_loop(0, k, select_round, init)
+            return outv2, outi2
+
+        init = (
+            jnp.full((QT, k), NEG_INF, jnp.float32),
+            jnp.full((QT, k), -1, jnp.int32),
+        )
+        outv, outi = lax.fori_loop(0, n_tiles, tile_body, init)
+        out_s_ref[0] = outv
+        out_i_ref[0] = outi
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "metric", "qt", "ct", "interpret")
+)
+def grouped_scan_pallas_sized(codes, ids, sizes, q, pids, k: int, metric: str,
+                              qt: int = 32, ct: int = 256,
+                              interpret: bool = False):
+    """Size-aware tile-streamed variant of grouped_scan_pallas.
+
+    Additional input: sizes [P] int32 (valid-prefix lengths). codes must
+    obey the compact-prefix invariant (slots < sizes[p] valid).
+    """
+    B, D = q.shape
+    P, C, _ = codes.shape
+    kk = min(k, C)
+    max_tiles = -(-C // ct)
+    group_pid, qlist, pair_group, pair_slot = build_groups(pids, P, qt)
+    G = group_pid.shape[0]
+    group_size = jnp.where(
+        group_pid >= 0, sizes[jnp.maximum(group_pid, 0)], 0
+    ).astype(jnp.int32)
+    safe_q = jnp.where(qlist >= 0, qlist, 0)
+    qg = q.astype(codes.dtype)[safe_q]
+
+    kernel = _sized_kernel(metric, kk, ct, max_tiles)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(G,),
+        in_specs=[
+            pl.BlockSpec((1, qt, D), lambda g, gp, gs: (g, 0, 0)),
+            pl.BlockSpec(memory_space=pltpu.ANY),  # codes stay in HBM
+        ],
+        out_specs=[
+            pl.BlockSpec((1, qt, kk), lambda g, gp, gs: (g, 0, 0)),
+            pl.BlockSpec((1, qt, kk), lambda g, gp, gs: (g, 0, 0)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, ct, D), codes.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    out_shape = [
+        jax.ShapeDtypeStruct((G, qt, kk), jnp.float32),
+        jax.ShapeDtypeStruct((G, qt, kk), jnp.int32),
+    ]
+    g_scores, g_slots = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(group_pid, group_size, qg, codes)
+
+    # slot -> vector id (tiny gather; kernel never reads the ids array).
+    safe_pid = jnp.maximum(group_pid, 0)[:, None, None]
+    safe_slot = jnp.maximum(g_slots, 0)
+    g_ids = ids[jnp.broadcast_to(safe_pid, g_slots.shape), safe_slot]
+    g_ids = jnp.where(g_slots >= 0, g_ids, -1)
+    g_ids = jnp.where(g_scores == NEG_INF, -1, g_ids)
+    return _merge_groups(g_scores, g_ids, pair_group, pair_slot, pids, k, kk)

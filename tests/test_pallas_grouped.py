@@ -34,3 +34,37 @@ def test_pallas_interpret_matches_xla(metric, variant):
     np.testing.assert_array_equal(np.asarray(n1), np.asarray(n2))
     for b in range(B):
         assert set(np.asarray(i1)[b].tolist()) == set(np.asarray(i2)[b].tolist())
+
+
+@pytest.mark.parametrize("metric", ["l2", "ip"])
+def test_sized_kernel_interpret_matches_xla(metric):
+    """Size-aware variant: parity + never reads padded slots (poisoned)."""
+    from quake_tpu.ops.pallas_grouped import grouped_scan_pallas_sized
+
+    rng = np.random.default_rng(1)
+    P, C, D, B, nprobe, k, qt, ct = 8, 128, 16, 12, 3, 5, 8, 32
+    codes = rng.standard_normal((P, C, D)).astype(np.float32)
+    ids = np.arange(P * C, dtype=np.int32).reshape(P, C)
+    sizes = np.zeros(P, np.int32)
+    for p in range(P):
+        sizes[p] = rng.integers(1, C + 1)
+        ids[p, sizes[p]:] = -1
+        codes[p, sizes[p]:] = 999.0  # poison: pads must never be read
+    q = rng.standard_normal((B, D)).astype(np.float32)
+    pids = rng.integers(0, P, (B, nprobe)).astype(np.int32)
+
+    clean = codes.copy()
+    for p in range(P):
+        clean[p, sizes[p]:] = 0.0
+    s1, i1, _ = grouped_scan_xla(
+        jnp.asarray(clean), jnp.asarray(ids), jnp.asarray(q), jnp.asarray(pids),
+        k, metric, qt=qt, group_chunk=4,
+    )
+    s2, i2, _ = grouped_scan_pallas_sized(
+        jnp.asarray(codes), jnp.asarray(ids), jnp.asarray(sizes),
+        jnp.asarray(q), jnp.asarray(pids), k, metric, qt=qt, ct=ct,
+        interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), rtol=1e-5, atol=1e-5)
+    for b in range(B):
+        assert set(np.asarray(i1)[b].tolist()) == set(np.asarray(i2)[b].tolist())

@@ -100,3 +100,31 @@ def test_empty_and_tiny_indices():
     res = idx.search(x[:1], SearchParams(k=3))
     assert (res.ids == -1).all()
     assert np.isinf(res.distances).all()
+
+
+def test_concurrent_searches():
+    """Concurrent reads are safe (mirror of ConcurrentFindIdTest /
+    concurrent-read coverage, test/cpp/index_partition.cpp:605,
+    dynamic_inverted_list.cpp:481): searches from multiple threads return
+    the same results as serial execution."""
+    import threading
+
+    rng = np.random.default_rng(5)
+    x = rng.standard_normal((3000, 16)).astype(np.float32)
+    ids = np.arange(3000, dtype=np.int64)
+    idx = QuakeIndex()
+    idx.build(x, ids, IndexBuildParams(nlist=8))
+    q = rng.standard_normal((40, 16)).astype(np.float32)
+    expected = idx.search(q, SearchParams(k=5, nprobe=8)).ids
+
+    results = [None] * 8
+    def worker(i):
+        results[i] = idx.search(q, SearchParams(k=5, nprobe=8)).ids
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    for r in results:
+        np.testing.assert_array_equal(r, expected)
