@@ -80,6 +80,7 @@ def aps_search(
     dimension: int,
     chunk: int = 2,
     use_precomputed: bool = True,
+    table=None,
 ):
     """Adaptive partition scan with recall-target early termination.
 
@@ -109,7 +110,11 @@ def aps_search(
     # (geometry.h:96-109), which is untested there and does not adhere.
     boundary = geometry.boundary_distances(q.astype(jnp.float32), cents, "l2")
     boundary = jnp.where(valid, boundary, jnp.inf).at[:, 0].set(boundary[:, 0])
-    table = geometry.beta_table(dimension, "l2") if use_precomputed else None
+    if use_precomputed and table is None:
+        # The table fully determines the cap-volume model in precomputed
+        # mode; passing it as DATA (not baking it in) lets callers sweep the
+        # model dimension without recompiling (build-time calibration).
+        table = geometry.beta_table(dimension, "l2")
     rank_idx = jnp.arange(M, dtype=jnp.int32)[None, :]
 
     init = (

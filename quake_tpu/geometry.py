@@ -187,6 +187,34 @@ def recall_profile(boundary, radius, dimension: int, metric: str = "l2",
     return jnp.where(s > 0, p / jnp.maximum(s, 1e-38), fallback)
 
 
+def effective_dimension(x, max_sample: int = 16384) -> int:
+    """Participation-ratio intrinsic dimension: (sum lambda)^2 / sum lambda^2
+    of the sample covariance spectrum.
+
+    The cap-volume recall model's concentration depends exponentially on
+    dimension; real corpora (SIFT/DEEP/embeddings) live on low-dimensional
+    manifolds, so using the ambient d makes the model overestimate recall
+    and terminate early. Isotropic data returns ~d (reference behavior
+    preserved); manifold data returns its intrinsic dimension. TPU-side
+    improvement over the reference, which always uses ambient d
+    (geometry.h:171)."""
+    import numpy as np
+
+    x = np.asarray(x, dtype=np.float32)
+    if x.shape[0] > max_sample:
+        idx = np.random.default_rng(0).choice(x.shape[0], max_sample, replace=False)
+        x = x[idx]
+    xc = x - x.mean(axis=0, keepdims=True)
+    cov = (xc.T @ xc) / max(x.shape[0] - 1, 1)
+    lam = np.linalg.eigvalsh(cov.astype(np.float64))
+    lam = np.clip(lam, 0.0, None)
+    s1, s2 = lam.sum(), (lam**2).sum()
+    if s2 <= 0:
+        return x.shape[1]
+    d_eff = int(round(s1 * s1 / s2))
+    return int(np.clip(d_eff, 2, x.shape[1]))
+
+
 def estimate_overlap(new_centroid, old_centroid, nbr_centroids):
     """Relative boundary shift toward each neighbor after a centroid moves
     (geometry.h:419-471). Used by maintenance refinement heuristics."""

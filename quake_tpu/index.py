@@ -60,6 +60,7 @@ class QuakeIndex:
         self.build_params: Optional[IndexBuildParams] = None
         self.maintenance_policy = None  # set by initialize_maintenance_policy
         self.mesh = None  # device mesh when num_shards > 1
+        self.aps_dimension = 0  # effective dim for the APS recall model
         self._nprobe_bucket = 8  # pow2 padding for probe lists
 
     # ------------------------------------------------------------------ build
@@ -87,6 +88,9 @@ class QuakeIndex:
 
         timing = BuildTimingInfo(n_vectors=n, n_clusters=max(bp.nlist, 1), d=d)
         if bp.nlist > 1:
+            from quake_tpu.geometry import effective_dimension
+
+            self.aps_dimension = effective_dimension(x)
             t_train = _now_us()
             centroids, assignments = kmeans_fit_assign(
                 jnp.asarray(x), bp.nlist, metric=self.metric, niter=bp.niter
@@ -122,12 +126,71 @@ class QuakeIndex:
             # Flat: one partition holding everything (quake_index.cpp:68-79).
             self.store.init_single_partition(x, ids)
 
+        if bp.nlist > 1 and bp.calibrate_aps and n >= 50_000:
+            self.calibrate_aps()
+
         if bp.num_shards > 1:
             self.shard(bp.num_shards)
 
         self.initialize_maintenance_policy(MaintenancePolicyParams())
         timing.total_time_us = _now_us() - t0
         return timing
+
+    def calibrate_aps(self, target: float = 0.9, nq: int = 64, k: int = 10):
+        """Calibrate the APS recall model's dimension against realized recall.
+
+        The cap-volume model's concentration is exponential in dimension:
+        the ambient d overestimates recall on manifold data (terminates
+        early), the participation-ratio intrinsic dimension underestimates
+        it (overscans). Sweep log-spaced candidates between the two on a
+        small sample with exact ground truth and keep the largest dimension
+        whose achieved recall meets the target — the same
+        profile-against-reality philosophy as the reference's empirically
+        profiled latency estimator (maintenance_cost_estimator.cpp:59-94).
+        The sweep passes the beta table as data, so it compiles once.
+        """
+        from quake_tpu.geometry import beta_table
+        from quake_tpu.utils import compute_recall
+
+        if self.parent is None or self.ntotal() < nq * 4:
+            return
+        sample_ids = self.store.get_ids()[:nq]
+        q_np, found = self.store.get_vectors(sample_ids)
+        q = jnp.asarray(q_np[found])
+        if q.shape[0] < 8:
+            return
+        state = self.store.state
+        _, gt32 = coordinator.flat_search(state.codes, state.ids, q, k, self.metric)
+        gt = np.asarray(gt32).astype(np.int64)
+
+        d_lo = max(self.aps_dimension or 2, 2)
+        d_hi = max(self.d(), d_lo + 1)
+        cands = np.unique(
+            np.round(np.geomspace(d_lo, d_hi, 6)).astype(int)
+        )[::-1]
+        sp = SearchParams(k=k, recall_target=target, initial_search_fraction=0.25,
+                          recompute_threshold=0.0, aps_chunk_size=4)
+        parent_k = max(int(self.nlist() * sp.initial_search_fraction), 1)
+        parent_k_padded = min(next_pow2(parent_k, self._nprobe_bucket),
+                              self.parent_ntotal())
+        psp = SearchParams(k=parent_k_padded, batched_scan=True)
+        _, p_ids32, _ = self.parent._search_device(q, psp)
+        pids = p_ids32[:, :parent_k] if parent_k < p_ids32.shape[1] else p_ids32
+
+        chosen = int(cands[-1])
+        for d_cand in cands:
+            table = beta_table(int(d_cand), "l2")
+            scores, ids32, scanned = coordinator.aps_search(
+                state.codes, state.ids, state.centroids, q, pids,
+                jnp.float32(target), jnp.float32(0.0),
+                k=k, metric=self.metric, dimension=self.d(), chunk=4,
+                use_precomputed=True, table=table,
+            )
+            achieved = compute_recall(np.asarray(ids32).astype(np.int64), gt, k)
+            if achieved >= target:
+                chosen = int(d_cand)
+                break
+        self.aps_dimension = chosen
 
     def shard(self, n_devices: int):
         """Shard the partition store over a device mesh (the analog of the
@@ -209,14 +272,23 @@ class QuakeIndex:
                     use_pallas=self._use_pallas(),
                 )
             timing.partitions_scanned = parent_k
-            # The parent scan is fused into the same program; report a stub
-            # entry so the recursive timing shape matches the reference's.
             timing.parent_info = SearchTimingInfo(
                 n_queries=int(q.shape[0]),
                 n_clusters=self.parent.nlist(),
                 partitions_scanned=self.parent.nlist(),
             )
             self._record_hits(pids, scanned)
+            return scores, ids32, timing, dists
+        if self.parent is None and self.mesh is None:
+            # Flat exact mode: fused scan + distance conversion, one program.
+            timing = SearchTimingInfo(
+                n_queries=int(q.shape[0]), n_clusters=self.nlist(), search_params=sp
+            )
+            state = self.store.state
+            scores, ids32, dists = coordinator.fused_flat_search(
+                state.codes, state.ids, q, k, self.metric
+            )
+            timing.partitions_scanned = self.nlist()
             return scores, ids32, timing, dists
         scores, ids32, timing = self._search_device(q, sp)
         return scores, ids32, timing, None
@@ -277,6 +349,13 @@ class QuakeIndex:
         pids = p_ids32[:, :parent_k] if parent_k < p_ids32.shape[1] else p_ids32
 
         if use_aps:
+            from quake_tpu.geometry import beta_table
+
+            table = (
+                beta_table(self.aps_dimension or self.d(), "l2")
+                if sp.use_precomputed
+                else None
+            )
             scores, ids32, scanned = coordinator.aps_search(
                 state.codes,
                 state.ids,
@@ -287,9 +366,10 @@ class QuakeIndex:
                 jnp.float32(sp.recompute_threshold),
                 k=k,
                 metric=self.metric,
-                dimension=self.d(),
+                dimension=self.aps_dimension or self.d(),
                 chunk=max(int(sp.aps_chunk_size), 1),
                 use_precomputed=bool(sp.use_precomputed),
+                table=table,
             )
             timing.partitions_scanned = int(np.asarray(scanned).mean()) if scanned.size else 0
             self._record_hits(pids, scanned)
@@ -438,6 +518,7 @@ class QuakeIndex:
             "nlist": self.nlist(),
             "precision": "bf16" if state.codes.dtype == jnp.bfloat16 else "f32",
             "has_parent": self.parent is not None,
+            "aps_dimension": self.aps_dimension,
             "free_rows": self.store.free_rows,
         }
         with open(os.path.join(path, "metadata.json"), "w") as f:
@@ -459,6 +540,7 @@ class QuakeIndex:
             raise ValueError(f"unsupported serialization version {meta['version']}")
         self.metric = meta["metric"]
         self.level = meta["level"]
+        self.aps_dimension = meta.get("aps_dimension", 0)
         dtype = jnp.bfloat16 if meta.get("precision") == "bf16" else jnp.float32
 
         from quake_tpu.storage.store import StoreState

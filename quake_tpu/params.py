@@ -101,6 +101,9 @@ class IndexBuildParams:
     # Split clusters above ~1.5x mean size at build so slab padding (set by
     # the largest partition) stays bounded. May grow nlist slightly.
     balance_partitions: bool = True
+    # Calibrate the APS recall model's dimension against realized recall on
+    # a small sample at build time (corpora >= 50k only).
+    calibrate_aps: bool = True
 
 
 @dataclass

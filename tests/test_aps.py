@@ -156,3 +156,32 @@ def test_aps_recall_target_adherence(metric):
                         recompute_threshold=0.0, aps_chunk_size=4)
     )
     assert res_low.timing_info.partitions_scanned < 100
+
+
+def test_effective_dimension():
+    """Participation-ratio dimension: ~ambient for isotropic data, ~intrinsic
+    for manifold data (drives the APS cap-volume model)."""
+    from quake_tpu.geometry import effective_dimension
+
+    rng = np.random.default_rng(0)
+    iso = rng.standard_normal((5000, 32)).astype(np.float32)
+    assert 28 <= effective_dimension(iso) <= 32
+
+    A = rng.standard_normal((8, 64)).astype(np.float32)
+    manifold = rng.standard_normal((5000, 8)).astype(np.float32) @ A
+    manifold += 0.01 * rng.standard_normal((5000, 64)).astype(np.float32)
+    d_eff = effective_dimension(manifold)
+    assert 4 <= d_eff <= 14
+
+
+def test_aps_uses_effective_dimension(small_data):
+    """Index build records the effective dimension and APS uses it."""
+    from quake_tpu import IndexBuildParams, QuakeIndex, SearchParams
+
+    x, ids, q = small_data
+    idx = QuakeIndex()
+    idx.build(x, ids, IndexBuildParams(nlist=32))
+    assert idx.aps_dimension > 0
+    res = idx.search(q, SearchParams(k=10, recall_target=0.8,
+                                     initial_search_fraction=0.5))
+    assert res.ids.shape == (len(q), 10)
