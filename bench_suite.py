@@ -1,0 +1,168 @@
+"""Multi-config benchmark suite (BASELINE.json configs):
+  quickstart   10k x 128, nlist=1024, L2, k=10, nprobe=10
+  sift1m-like  1M x 128 L2, fixed-nprobe sweep (same as bench.py)
+  deep-like    1M x 96 inner-product, unit-norm, APS at 0.9 recall target
+  gist-like    200k x 960 high-dim L2
+  streaming    workload replay with maintenance (insert/delete/query mix)
+
+Prints one JSON line per config. bench.py remains the single-line headline
+benchmark; this suite is for the full BASELINE.json coverage.
+
+Usage: python bench_suite.py [--configs quickstart,deep,gist,streaming]
+"""
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+from bench import make_manifold
+
+
+def _qps(idx, queries, sp, batch, n_batches):
+    import jax
+    import jax.numpy as jnp
+
+    q_dev = [jnp.asarray(queries[i * batch : (i + 1) * batch]) for i in range(n_batches)]
+    jax.block_until_ready(idx._search_device_full(q_dev[0], sp)[1])
+    _ = np.asarray(idx._search_device_full(q_dev[0], sp)[1])
+    t0 = time.perf_counter()
+    last = None
+    for q in q_dev:
+        last = idx._search_device_full(q, sp)
+    _ = np.asarray(last[1])
+    return n_batches * batch / (time.perf_counter() - t0)
+
+
+def run_quickstart():
+    from quake_tpu import IndexBuildParams, QuakeIndex, SearchParams
+    from quake_tpu.utils import compute_recall, knn
+
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((10_000, 128)).astype(np.float32)
+    q = rng.standard_normal((1000, 128)).astype(np.float32)
+    idx = QuakeIndex()
+    t0 = time.perf_counter()
+    idx.build(x, np.arange(10_000, dtype=np.int64), IndexBuildParams(nlist=1024))
+    build_s = time.perf_counter() - t0
+    sp = SearchParams(k=10, nprobe=10)
+    res = idx.search(q, sp)
+    gt, _ = knn(q, x, 10)
+    recall = compute_recall(res.ids, gt, 10)
+    qps = _qps(idx, np.tile(q, (2, 1)), sp, 1000, 2)
+    return {"metric": f"quickstart 10k x128 nlist=1024 nprobe=10 recall={recall:.3f} build_s={build_s:.1f}",
+            "value": round(qps, 1), "unit": "qps"}
+
+
+def run_deep():
+    """DEEP-like: 96-d unit-norm inner product with APS at 0.9 target."""
+    import jax.numpy as jnp
+
+    from quake_tpu import IndexBuildParams, QuakeIndex, SearchParams
+    from quake_tpu.coordinator import flat_search
+    from quake_tpu.utils import compute_recall
+
+    x = make_manifold(1_000_000, 96, 4096, seed=2)
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    q = make_manifold(1024, 96, 4096, seed=3)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    idx = QuakeIndex()
+    t0 = time.perf_counter()
+    idx.build(x, np.arange(len(x), dtype=np.int64),
+              IndexBuildParams(nlist=1024, metric="ip"))
+    build_s = time.perf_counter() - t0
+    state = idx.store.state
+    _, gt32 = flat_search(state.codes, state.ids, jnp.asarray(q), 10, "ip")
+    gt = np.asarray(gt32).astype(np.int64)
+    sp = SearchParams(k=10, recall_target=0.9, initial_search_fraction=0.125,
+                      aps_chunk_size=4)
+    t0 = time.perf_counter()
+    res = idx.search(q, sp)
+    lat = time.perf_counter() - t0
+    recall = compute_recall(res.ids, gt, 10)
+    return {"metric": f"deep-like 1M x96 ip APS@0.9 achieved={recall:.3f} scanned={res.timing_info.partitions_scanned} build_s={build_s:.1f}",
+            "value": round(len(q) / lat, 1), "unit": "qps"}
+
+
+def run_gist():
+    """GIST-like: 960-d L2."""
+    import jax.numpy as jnp
+
+    from quake_tpu import IndexBuildParams, QuakeIndex, SearchParams
+    from quake_tpu.coordinator import flat_search
+    from quake_tpu.utils import compute_recall
+
+    x = make_manifold(200_000, 960, 1024, seed=4, zdim=24)
+    q = make_manifold(1024, 960, 1024, seed=5, zdim=24)
+    idx = QuakeIndex()
+    t0 = time.perf_counter()
+    idx.build(x, np.arange(len(x), dtype=np.int64), IndexBuildParams(nlist=512))
+    build_s = time.perf_counter() - t0
+    state = idx.store.state
+    _, gt32 = flat_search(state.codes, state.ids, jnp.asarray(q), 10, "l2")
+    gt = np.asarray(gt32).astype(np.int64)
+    chosen, recall = 128, 0.0
+    for nprobe in (8, 16, 32, 64, 128):
+        res = idx.search(q, SearchParams(k=10, nprobe=nprobe))
+        recall = compute_recall(res.ids, gt, 10)
+        if recall >= 0.9:
+            chosen = nprobe
+            break
+    qps = _qps(idx, np.tile(q, (4, 1)), SearchParams(k=10, nprobe=chosen), 1024, 4)
+    return {"metric": f"gist-like 200k x960 nprobe={chosen} recall={recall:.3f} build_s={build_s:.1f}",
+            "value": round(qps, 1), "unit": "qps"}
+
+
+def run_streaming():
+    """Streaming: interleaved add/remove/search with maintenance."""
+    from quake_tpu import IndexBuildParams, MaintenancePolicyParams, QuakeIndex, SearchParams
+    from quake_tpu.utils import compute_recall, knn
+
+    x = make_manifold(200_000, 128, 2048, seed=6)
+    ids = np.arange(len(x), dtype=np.int64)
+    idx = QuakeIndex()
+    idx.build(x[:100_000], ids[:100_000], IndexBuildParams(nlist=256))
+    idx.initialize_maintenance_policy(
+        MaintenancePolicyParams(window_size=200, split_threshold_ns=0.0)
+    )
+    rng = np.random.default_rng(7)
+    sp = SearchParams(k=10, nprobe=32)
+    next_add = 100_000
+    resident = 100_000
+    t0 = time.perf_counter()
+    n_ops = 0
+    for step in range(10):
+        idx.add(x[next_add : next_add + 5000], ids[next_add : next_add + 5000])
+        rm = ids[step * 5000 : (step + 1) * 5000]
+        idx.remove(rm)
+        q = make_manifold(1000, 128, 2048, seed=100 + step)
+        idx.search(q, sp)
+        idx.maintenance()
+        next_add += 5000
+        n_ops += 3
+    elapsed = time.perf_counter() - t0
+    q = make_manifold(256, 128, 2048, seed=999)
+    res = idx.search(q, SearchParams(k=10, nprobe=idx.nlist()))
+    rid = idx.get_ids()
+    gt, _ = knn(q, x[np.sort(rid)], 10, ids=np.sort(rid))
+    recall = compute_recall(res.ids, gt, 10)
+    return {"metric": f"streaming 100k+10x(5k add/5k rm/1k q/maint) full-probe recall={recall:.3f} nlist={idx.nlist()}",
+            "value": round(n_ops / elapsed, 2), "unit": "ops_per_s"}
+
+
+CONFIGS = {
+    "quickstart": run_quickstart,
+    "deep": run_deep,
+    "gist": run_gist,
+    "streaming": run_streaming,
+}
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--configs", default="quickstart,deep,gist,streaming")
+    args = ap.parse_args()
+    for name in args.configs.split(","):
+        out = CONFIGS[name.strip()]()
+        out["config"] = name.strip()
+        print(json.dumps(out), flush=True)
