@@ -575,7 +575,10 @@ class QuakeIndex:
             dimension=meta["dimension"], nlist=meta["nlist"], metric=self.metric
         )
         # Fresh maintenance policy; hit window is not persisted
-        # (reference behavior: quake_index.cpp:208-267).
+        # (reference behavior: quake_index.cpp:208-267). n_workers maps to
+        # mesh shards (load re-creates workers in the reference).
+        if n_workers > 1 and len(jax.devices()) >= n_workers:
+            self.shard(n_workers)
         self.initialize_maintenance_policy(MaintenancePolicyParams())
         return self
 

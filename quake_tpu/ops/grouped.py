@@ -191,5 +191,11 @@ def _merge_groups(g_scores, g_ids, pair_group, pair_slot, pids, k: int, kk: int)
     scores, out_ids = topk_from_scores(
         s.reshape(B, nprobe * kk), i.reshape(B, nprobe * kk), min(k, nprobe * kk)
     )
+    if scores.shape[1] < k:
+        # Fewer candidates than k: pad with -1/-inf (reference convention,
+        # query_coordinator.cpp:447-456).
+        pad = k - scores.shape[1]
+        scores = jnp.pad(scores, ((0, 0), (0, pad)), constant_values=NEG_INF)
+        out_ids = jnp.pad(out_ids, ((0, 0), (0, pad)), constant_values=-1)
     scanned = jnp.sum((pids >= 0).astype(jnp.int32), axis=1)
     return scores, out_ids, scanned

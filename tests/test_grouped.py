@@ -108,3 +108,19 @@ def test_grouped_overflow_partition():
         None, 3, "l2",
     )
     np.testing.assert_allclose(np.asarray(s), np.asarray(s1), rtol=1e-5, atol=1e-5)
+
+
+def test_grouped_k_exceeds_candidates():
+    """k > nprobe*partition_size pads with -1/-inf (reference convention)."""
+    codes, ids = make_store(P=4, C=16, D=4)
+    ids[:, 4:] = -1  # only 4 valid per partition
+    q = np.random.default_rng(5).standard_normal((18, 4)).astype(np.float32)
+    pids = np.zeros((18, 1), dtype=np.int32)  # one partition, 4 candidates
+    s, i, n = grouped_scan_xla(
+        jnp.asarray(codes), jnp.asarray(ids), jnp.asarray(q), jnp.asarray(pids),
+        10, "l2", qt=4, group_chunk=4,
+    )
+    i = np.asarray(i)
+    assert i.shape == (18, 10)
+    assert (i[:, 4:] == -1).all()
+    assert (i[:, :4] >= 0).all()
