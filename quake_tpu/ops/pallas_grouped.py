@@ -549,3 +549,165 @@ def grouped_scan_pallas_packed(codes, ids, q, pids, k: int, metric: str,
     scores = jnp.where(out_ids >= 0, scores, -jnp.inf)
     scanned = jnp.sum((pids >= 0).astype(jnp.int32), axis=1)
     return scores, out_ids, scanned
+
+
+def _multi_kernel(metric: str, k: int, gb: int, C: int, D: int):
+    """Multi-group manual-DMA kernel body. EXPERIMENTAL — measured SLOWER
+    than the whole-slab BlockSpec kernel on v5e (15.3-19.7ms vs 9.8ms at
+    B=1024, nprobe=16): Mosaic's automatic grid pipeline overlaps DMA with
+    compute better than this manual double buffer, i.e. per-grid-step
+    overhead was NOT the bottleneck. Kept for reference.
+
+    Processes GB groups per grid step: each group's whole [C, D] slab is
+    manually DMA'd HBM->VMEM with double buffering (next group's slab loads
+    while the current one computes).
+
+    Selection outputs (score, slot) with leftmost-slot tie-break — slots are
+    unique per lane, so no ids DMA and no id-disambiguation passes; the
+    wrapper recovers vector ids with one small gather.
+    """
+
+    def kernel(group_pid_ref, qg_ref, codes_hbm, ids_hbm, out_s_ref, out_i_ref,
+               slab, id_slab, sem, id_sem):
+        g = pl.program_id(0)
+
+        def slab_dma(slot, j):
+            pid = jnp.maximum(group_pid_ref[g * gb + j], 0)
+            return pltpu.make_async_copy(
+                codes_hbm.at[pid], slab.at[slot], sem.at[slot]
+            )
+
+        def ids_dma(slot, j):
+            pid = jnp.maximum(group_pid_ref[g * gb + j], 0)
+            return pltpu.make_async_copy(
+                ids_hbm.at[pid], id_slab.at[slot], id_sem.at[slot]
+            )
+
+        slab_dma(0, 0).start()
+        ids_dma(0, 0).start()
+
+        for j in range(gb):  # static unroll: GB is small
+            if j + 1 < gb:
+                slab_dma((j + 1) % 2, j + 1).start()
+                ids_dma((j + 1) % 2, j + 1).start()
+            slab_dma(j % 2, j).wait()
+            ids_dma(j % 2, j).wait()
+            pid = group_pid_ref[g * gb + j]
+            tile = slab[j % 2]  # [C, D]
+            sids = id_slab[j % 2, 0]  # [C]
+            qg = qg_ref[j]  # [QT, D]
+            prod = jax.lax.dot_general(
+                qg, tile,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            if metric == "l2":
+                qf = qg.astype(jnp.float32)
+                tf = tile.astype(jnp.float32)
+                q_sq = jnp.sum(qf * qf, axis=1, keepdims=True)
+                t_sq = jnp.sum(tf * tf, axis=1)
+                scores = 2.0 * prod - q_sq - t_sq[None, :]
+            else:
+                scores = prod
+            QT = scores.shape[0]
+            valid = (sids >= 0)[None, :] & (pid >= 0)
+            scores = jnp.where(valid, scores, NEG_INF)
+
+            lane = jax.lax.broadcasted_iota(jnp.int32, (QT, C), 1)
+            out_lane = jax.lax.broadcasted_iota(jnp.int32, (QT, k), 1)
+
+            def select_round(i, carry):
+                scores_c, outv, outi = carry
+                best = jnp.max(scores_c, axis=1, keepdims=True)
+                first = jnp.min(
+                    jnp.where(scores_c == best, lane, C), axis=1, keepdims=True
+                )
+                sel = out_lane == i
+                outv = jnp.where(sel, best, outv)
+                outi = jnp.where(sel, first, outi)
+                return jnp.where(lane == first, NEG_INF, scores_c), outv, outi
+
+            init = (
+                scores,
+                jnp.full((QT, k), NEG_INF, jnp.float32),
+                jnp.full((QT, k), C, jnp.int32),
+            )
+            _, outv, outi = lax.fori_loop(0, k, select_round, init)
+            out_s_ref[j] = outv
+            out_i_ref[j] = outi
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "metric", "qt", "gb", "interpret")
+)
+def grouped_scan_pallas_multi(codes, ids, q, pids, k: int, metric: str,
+                              qt: int = 32, gb: int = 8,
+                              interpret: bool = False):
+    """Multi-group manual-DMA variant of grouped_scan_pallas (see
+    _multi_kernel). Same signature/returns (scores, ids, scanned).
+
+    Stale pad slots are masked AFTER the kernel: selected slots whose id is
+    -1 are dropped before the per-query merge; correctness requires pad rows
+    to never outrank k real candidates, so the wrapper zeroes pad rows'
+    scores by checking ids at merge time AND the store keeps pad rows
+    zeroed... instead, to stay exact with arbitrary stale data, the wrapper
+    selects k + slack slots in-kernel and filters by id validity.
+    """
+    from quake_tpu.ops.scan import scores_to_distances
+
+    B, D = q.shape
+    P, C, _ = codes.shape
+    kk = min(k, C)
+    group_pid, qlist, pair_group, pair_slot = build_groups(pids, P, qt)
+    G = group_pid.shape[0]
+    n_steps = -(-G // gb)
+    pad_g = n_steps * gb - G
+    gp = jnp.pad(group_pid, (0, pad_g), constant_values=-1)
+    ql = jnp.pad(qlist, ((0, pad_g), (0, 0)), constant_values=-1)
+    safe_q = jnp.where(ql >= 0, ql, 0)
+    qg = q.astype(codes.dtype)[safe_q]  # [G_pad, QT, D]
+
+    sel_k = kk
+    kernel = _multi_kernel(metric, sel_k, gb, C, D)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_steps,),
+        in_specs=[
+            pl.BlockSpec((gb, qt, D), lambda g, gp_: (g, 0, 0)),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=[
+            pl.BlockSpec((gb, qt, sel_k), lambda g, gp_: (g, 0, 0)),
+            pl.BlockSpec((gb, qt, sel_k), lambda g, gp_: (g, 0, 0)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, C, D), codes.dtype),
+            pltpu.VMEM((2, 1, C), jnp.int32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    g_scores, g_slots = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((n_steps * gb, qt, sel_k), jnp.float32),
+            jax.ShapeDtypeStruct((n_steps * gb, qt, sel_k), jnp.int32),
+        ],
+        interpret=interpret,
+    )(gp, qg, codes, ids.reshape(P, 1, C))
+
+    # Recover ids; drop stale/pad slots (id == -1).
+    gpid_b = jnp.broadcast_to(
+        jnp.maximum(gp, 0)[:, None, None], g_slots.shape
+    )
+    safe_slots = jnp.clip(g_slots, 0, C - 1)
+    g_ids = ids[gpid_b, safe_slots]
+    valid = (g_slots < C) & (g_ids >= 0)
+    g_scores = jnp.where(valid, g_scores, NEG_INF)
+    g_ids = jnp.where(valid, g_ids, -1)
+
+    return _merge_groups(g_scores, g_ids, pair_group, pair_slot, pids, k, sel_k)

@@ -99,3 +99,33 @@ def test_packed_kernel_interpret_matches_xla(metric):
     np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), rtol=1e-4, atol=1e-4)
     for b in range(B):
         assert set(np.asarray(i1)[b].tolist()) == set(np.asarray(i2)[b].tolist())
+
+
+@pytest.mark.parametrize("metric", ["l2", "ip"])
+def test_multi_kernel_interpret_matches_xla(metric):
+    """Multi-group manual-DMA variant: parity incl. stale-pad masking."""
+    from quake_tpu.ops.pallas_grouped import grouped_scan_pallas_multi
+
+    rng = np.random.default_rng(0)
+    P, C, D, B, nprobe, k, qt = 8, 128, 16, 12, 3, 5, 8
+    codes = rng.standard_normal((P, C, D)).astype(np.float32)
+    ids = np.arange(P * C, dtype=np.int32).reshape(P, C)
+    for p in range(P):
+        sz = rng.integers(C // 2, C + 1)
+        ids[p, sz:] = -1
+        codes[p, sz:] = 10.0  # stale rows that would rank top if unmasked
+    q = rng.standard_normal((B, D)).astype(np.float32)
+    pids = rng.integers(0, P, (B, nprobe)).astype(np.int32)
+    pids[0, 1:] = -1
+
+    s1, i1, n1 = grouped_scan_xla(
+        jnp.asarray(codes), jnp.asarray(ids), jnp.asarray(q), jnp.asarray(pids),
+        k, metric, qt=qt, group_chunk=4,
+    )
+    s2, i2, n2 = grouped_scan_pallas_multi(
+        jnp.asarray(codes), jnp.asarray(ids), jnp.asarray(q), jnp.asarray(pids),
+        k, metric, qt=qt, gb=4, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), rtol=1e-5, atol=1e-5)
+    for b in range(B):
+        assert set(np.asarray(i1)[b].tolist()) == set(np.asarray(i2)[b].tolist())
