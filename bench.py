@@ -12,6 +12,7 @@ otherwise dominates and measures the tunnel, not the engine.
 """
 
 import json
+import os
 import time
 
 import numpy as np
@@ -38,7 +39,8 @@ def main():
     from quake_tpu.utils import compute_recall
 
     N, D, NLIST, K = 1_000_000, 128, 1024, 10
-    NQ_GT, BATCH, N_BATCHES = 1024, 1024, 16
+    BATCH = int(os.environ.get("QUAKE_BENCH_BATCH", 4096))
+    NQ_GT, N_BATCHES = 1024, max(16384 // BATCH, 2)
 
     x = make_manifold(N, D, 4096, seed=1)
     ids = np.arange(N, dtype=np.int64)

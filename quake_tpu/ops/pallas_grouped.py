@@ -475,7 +475,6 @@ def grouped_scan_pallas_packed(codes, ids, q, pids, k: int, metric: str,
                                qt: int = 32, interpret: bool = False):
     """Packed-selection variant of grouped_scan_pallas with exact final
     rescoring. Same signature/returns (scores, ids, scanned)."""
-    from quake_tpu.ops.scan import NEG_INF as NEG_INF_ARR, scores_to_distances
 
     B, D = q.shape
     P, C, _ = codes.shape

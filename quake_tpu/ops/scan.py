@@ -16,7 +16,6 @@ Conventions (matching the reference's output semantics):
 
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp

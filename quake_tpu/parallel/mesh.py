@@ -20,7 +20,7 @@ Queries replicate; per-device local top-k merges over ICI collectives.
 from __future__ import annotations
 
 import jax
-import jax.numpy as jnp
+
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 

@@ -25,7 +25,7 @@ import numpy as np
 from jax import lax
 
 from quake_tpu.storage.idmap import make_id_map
-from quake_tpu.utils import next_pow2, to_f32, to_i64
+from quake_tpu.utils import next_pow2, to_i64
 
 MIN_CAPACITY = 256  # initial per-partition capacity floor (one scan tile)
 

@@ -6,7 +6,7 @@ these, populated with host wall-clock stamps around the (jitted) device calls.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Any, Optional
 
 

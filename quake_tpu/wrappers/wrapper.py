@@ -9,7 +9,7 @@ optional dependencies only fail when that baseline is requested.
 from __future__ import annotations
 
 import abc
-from typing import Optional, Tuple, Union
+from typing import Optional, Union
 
 import numpy as np
 
