@@ -190,7 +190,7 @@ def fused_ivf_search(
     Pp, Cp, D = parent_codes.shape
     _, pids = flat_scan(
         q, parent_codes.reshape(Pp * Cp, D), parent_ids.reshape(Pp * Cp),
-        nprobe, metric,
+        nprobe, metric, approx=True,
     )
     if use_pallas:
         from quake_tpu.ops.pallas_grouped import grouped_scan_pallas

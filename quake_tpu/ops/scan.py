@@ -69,11 +69,16 @@ def _block_scores(q, q_sq, block, block_sq, metric: str):
     return prod
 
 
-def flat_scan(q, codes, ids, k: int, metric: str = "l2", chunk_size: int = 8192):
-    """Exact top-k of queries against a flat (padded) buffer of vectors.
+def flat_scan(q, codes, ids, k: int, metric: str = "l2", chunk_size: int = 8192,
+              approx: bool = False):
+    """Top-k of queries against a flat (padded) buffer of vectors.
 
     q: [B, D]; codes: [N, D] (N padded); ids: [N] int32 with -1 = invalid slot.
-    Returns (scores [B,k], ids [B,k]).
+    Returns (scores [B,k], ids [B,k]). Exact by default (the user-facing flat
+    index mode); approx=True switches selection to the tiled reducer — used
+    for the PARENT centroid ranking inside IVF search, where a full sort of
+    the [B, nlist] score matrix would dominate the whole query
+    (candidate-set selection tolerates 0.99-recall ranking).
 
     The analog of scanning a flat index / the parent centroid index
     (query_coordinator.cpp:624-626). Each chunk is one [B,D]x[D,chunk] MXU
@@ -90,7 +95,8 @@ def flat_scan(q, codes, ids, k: int, metric: str = "l2", chunk_size: int = 8192)
         block_sq = jnp.sum(codes.astype(jnp.float32) * codes.astype(jnp.float32), axis=1)
         scores = _block_scores(q, q_sq, codes, block_sq, metric)
         scores = jnp.where((ids >= 0)[None, :], scores, NEG_INF)
-        return topk_from_scores(scores, jnp.broadcast_to(ids[None, :], (B, N)), k)
+        return topk_from_scores(scores, jnp.broadcast_to(ids[None, :], (B, N)), k,
+                                approx=approx)
 
     # Pad to a chunk multiple and scan.
     n_chunks = -(-N // chunk_size)

@@ -163,7 +163,7 @@ def sharded_fused_search(mesh, codes, ids, parent_codes, parent_ids, q,
         Pp, Cp, D = pcodes_l.shape
         _, probe = flat_scan(
             q_l, pcodes_l.reshape(Pp * Cp, D), pids_l.reshape(Pp * Cp),
-            nprobe, metric,
+            nprobe, metric, approx=True,
         )
         s, i, scanned = grouped_scan_xla(
             codes_l, ids_l, q_l, probe, k, metric, qt=qt, group_chunk=group_chunk
