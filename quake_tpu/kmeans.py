@@ -44,7 +44,7 @@ def kmeans_fit_assign(
     """
     n, d = x.shape
     key = jax.random.PRNGKey(seed)
-    k_init, k_empty = jax.random.split(key)
+    k_init, k_empty, k_sub = jax.random.split(key, 3)
 
     # Random init without replacement (or with, if n < n_clusters).
     if n >= n_clusters:
@@ -53,7 +53,16 @@ def kmeans_fit_assign(
         perm = jax.random.randint(k_init, (n_clusters,), 0, max(n, 1))
     centroids = x[perm].astype(jnp.float32)
 
-    xp, n_real, pad = _pad_rows(x, chunk_size)
+    # Train on a subsample like Faiss Clustering (max_points_per_centroid=256
+    # — the reference's build path inherits this): Lloyd quality saturates
+    # beyond ~256 points/centroid and per-iteration cost drops proportionally.
+    max_train = 256 * n_clusters
+    x_train = x
+    if n > max_train:
+        sub = jax.random.choice(k_sub, n, (max_train,), replace=False)
+        x_train = x[sub]
+
+    xp, n_real, pad = _pad_rows(x_train, chunk_size)
     n_chunks = xp.shape[0] // chunk_size
     xc = xp.reshape(n_chunks, chunk_size, d)
     # Row-validity per chunk (padding rows must not contribute).
@@ -126,8 +135,16 @@ def kmeans_fit_assign(
         chunk, chunk_sq, chunk_valid = blk
         return None, assign_chunk(cents, cents_sq, chunk, chunk_sq, chunk_valid)
 
-    _, assigns = lax.scan(assign_body, None, (xc, x_sq_c, valid))
-    assignments = assigns.reshape(-1)[:n_real]
+    # Assign the FULL dataset (training may have used a subsample).
+    xp_full, n_full, _ = _pad_rows(x, chunk_size)
+    nc_full = xp_full.shape[0] // chunk_size
+    xc_full = xp_full.reshape(nc_full, chunk_size, d)
+    row_idx_full = jnp.arange(nc_full * chunk_size).reshape(nc_full, chunk_size)
+    valid_full = row_idx_full < n_full
+    x_sq_full = jnp.sum(xc_full.astype(jnp.float32) ** 2, axis=2)
+
+    _, assigns = lax.scan(assign_body, None, (xc_full, x_sq_full, valid_full))
+    assignments = assigns.reshape(-1)[:n_full]
     assignments = jnp.minimum(assignments, n_clusters - 1)
     return centroids, assignments
 

@@ -276,7 +276,10 @@ class PartitionStore:
         # directly multiplies every scan's HBM traffic.
         max_count = int(counts.max(initial=1))
         C = max(MIN_CAPACITY, -(-max_count // 256) * 256)
-        P = next_pow2(nlist, 8)
+        # Partition-axis padding: tight 128-granularity (P directly scales
+        # the grouped scan's group count; pow2 doubling wastes up to 2x).
+        # Growth happens on demand in ensure_rows, also at 128 granularity.
+        P = max(8, -(-nlist // 128) * 128) if nlist > 1 else 1
         self.state = _init_from_assignments(
             jnp.asarray(x, self.dtype),
             jnp.asarray(vids_np),
@@ -312,7 +315,8 @@ class PartitionStore:
         if n_new_rows <= len(self.free_rows):
             return
         old_P = self.P
-        new_P = next_pow2(old_P + n_new_rows, old_P * 2)
+        needed = old_P + n_new_rows - len(self.free_rows)
+        new_P = max(-(-needed // 128) * 128, old_P + 128)
         self.state = _grow_partitions(self.state, new_P=new_P)
         self.free_rows = list(range(old_P, new_P))[::-1] + self.free_rows
         self.generation = np.concatenate(
