@@ -710,3 +710,4 @@ def grouped_scan_pallas_multi(codes, ids, q, pids, k: int, metric: str,
     g_ids = jnp.where(valid, g_ids, -1)
 
     return _merge_groups(g_scores, g_ids, pair_group, pair_slot, pids, k, sel_k)
+
