@@ -90,8 +90,9 @@ def test_recall_profile_properties():
     for b in range(4):
         within = boundary[b, 1:] < radius[b]
         if not within.any():
-            # All caps empty -> uniform fallback (geometry.h:397-400).
-            np.testing.assert_allclose(probs[b], 1.0 / M, rtol=1e-4)
+            # All caps empty -> all mass on the home partition (improvement
+            # over the reference's uniform fallback; see recall_profile).
+            assert probs[b, 0] == 1.0 and (probs[b, 1:] == 0).all()
             continue
         # Partitions with boundary >= radius have zero probability.
         assert (probs[b, 1:][~within] == 0).all()
