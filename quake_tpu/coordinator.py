@@ -78,7 +78,7 @@ def aps_search(
     k: int,
     metric: str,
     dimension: int,
-    chunk: int = 2,
+    chunk: int = 4,
     use_precomputed: bool = True,
     table=None,
 ):

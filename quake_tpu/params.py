@@ -129,7 +129,7 @@ class SearchParams:
     aps_flush_period_us: int = DEFAULT_APS_FLUSH_PERIOD_US
 
     # --- TPU extensions ---
-    aps_chunk_size: int = 2
+    aps_chunk_size: int = 4
 
     def copy(self) -> "SearchParams":
         return dataclasses.replace(self)
