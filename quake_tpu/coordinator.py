@@ -21,7 +21,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from quake_tpu import geometry
-from quake_tpu.ops.scan import NEG_INF, flat_scan, ivf_scan, merge_topk, topk_from_scores
+from quake_tpu.ops.scan import NEG_INF, flat_scan, ivf_scan, merge_topk
 
 
 @functools.partial(jax.jit, static_argnames=("k", "metric", "chunk_size"))
@@ -40,74 +40,19 @@ def ivf_search(codes, ids, q, pids, k: int, metric: str):
     return ivf_scan(q, pids, codes, ids, sizes, k, metric)
 
 
-def _scan_rank(q, q_sq, pid_col, codes, ids, k: int, metric: str):
-    """Scan one probe-rank column: gather each query's partition and compute
-    masked scores. pid_col [B] (-1 = skip)."""
-    valid = pid_col >= 0
-    p = jnp.where(valid, pid_col, 0)
-    slab = codes[p]  # [B, C, D]
-    sids = ids[p]  # [B, C]
-    prod = jax.lax.dot_general(
-        slab, q,
-        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-    )
-    if metric == "l2":
-        slab_f = slab.astype(jnp.float32)
-        slab_sq = jnp.sum(slab_f * slab_f, axis=2)
-        scores = 2.0 * prod - q_sq[:, None] - slab_sq
-    else:
-        scores = prod
-    slot_ok = (sids >= 0) & valid[:, None]
-    scores = jnp.where(slot_ok, scores, NEG_INF)
-    return topk_from_scores(scores, sids, min(k, scores.shape[1]), approx=True)
+def aps_setup(q, centroids, pids, dimension: int, use_precomputed: bool, table):
+    """Shared APS preamble: per-candidate Voronoi boundary distances and the
+    beta lookup table. Returns (boundary [B, M], valid [B, M], table).
 
-
-@functools.partial(
-    jax.jit,
-    static_argnames=("k", "metric", "dimension", "chunk", "use_precomputed"),
-)
-def aps_search(
-    codes,
-    ids,
-    centroids,
-    q,
-    pids,
-    recall_target,
-    recompute_threshold,
-    k: int,
-    metric: str,
-    dimension: int,
-    chunk: int = 4,
-    use_precomputed: bool = True,
-    table=None,
-):
-    """Adaptive partition scan with recall-target early termination.
-
-    pids: [B, M] candidate partitions in rank order (nearest centroid first,
-    -1 = pad) — the initial_search_fraction set from the parent search
-    (query_coordinator.cpp:636-641). Scans `chunk` ranked partitions per
-    while-loop step; queries whose estimated cumulative recall passes the
-    target go inactive (their remaining chunk scans are masked out).
-
-    Returns (scores [B,k], ids [B,k], partitions_scanned [B]).
+    APS geometry always works in L2 space. For IP, spherical k-means keeps
+    centroids unit-norm (clustering.cpp:25-26), so max-IP Voronoi cells ==
+    L2 Voronoi cells of the centroids and the k-th IP score s maps to an
+    L2 radius r = sqrt(|q|^2 + 1 - 2 s) (MIPS->NN reduction on a ~unit-norm
+    corpus). This replaces the reference's angle-to-midpoint IP heuristic
+    (geometry.h:96-109), which is untested there and does not adhere.
     """
-    B, D = q.shape
-    M = pids.shape[1]
-    n_chunks = -(-M // chunk)
-    pad = n_chunks * chunk - M
-    pids_p = jnp.pad(pids, ((0, 0), (0, pad)), constant_values=-1)
-
-    q = q.astype(codes.dtype)
-    q_sq = jnp.sum(q.astype(jnp.float32) ** 2, axis=1)
     valid = pids >= 0
     cents = centroids[jnp.where(valid, pids, 0)]  # [B, M, D]
-    # APS geometry always works in L2 space. For IP, spherical k-means keeps
-    # centroids unit-norm (clustering.cpp:25-26), so max-IP Voronoi cells ==
-    # L2 Voronoi cells of the centroids and the k-th IP score s maps to an
-    # L2 radius r = sqrt(|q|^2 + 1 - 2 s) (MIPS->NN reduction on a ~unit-norm
-    # corpus). This replaces the reference's angle-to-midpoint IP heuristic
-    # (geometry.h:96-109), which is untested there and does not adhere.
     boundary = geometry.boundary_distances(q.astype(jnp.float32), cents, "l2")
     boundary = jnp.where(valid, boundary, jnp.inf).at[:, 0].set(boundary[:, 0])
     if use_precomputed and table is None:
@@ -115,6 +60,40 @@ def aps_search(
         # mode; passing it as DATA (not baking it in) lets callers sweep the
         # model dimension without recompiling (build-time calibration).
         table = geometry.beta_table(dimension, "l2")
+    return boundary, valid, table
+
+
+def aps_loop(
+    q,
+    pids,
+    boundary,
+    valid,
+    table,
+    recall_target,
+    recompute_threshold,
+    k: int,
+    metric: str,
+    dimension: int,
+    chunk: int,
+    use_precomputed: bool,
+    scan_chunk,
+):
+    """The APS while-loop core, shared by the single-device and shard_map
+    paths. `scan_chunk(eff)` scans a [B, chunk] pid matrix (-1 = skip) and
+    returns merged per-query (scores [B,k], ids [B,k]) — on a mesh it wraps
+    the local scan plus the cross-device top-k merge, so the termination
+    state below stays replicated-identical on every device.
+
+    Reference: the per-query termination loop at query_coordinator.cpp:383-430
+    (worker path) / :537-579 (serial path), restructured as a device-side
+    predicate over ranked partition chunks.
+    """
+    B = q.shape[0]
+    M = pids.shape[1]
+    n_chunks = -(-M // chunk)
+    pad = n_chunks * chunk - M
+    pids_p = jnp.pad(pids, ((0, 0), (0, pad)), constant_values=-1)
+    q_sq = jnp.sum(q.astype(jnp.float32) ** 2, axis=1)
     rank_idx = jnp.arange(M, dtype=jnp.int32)[None, :]
 
     init = (
@@ -136,9 +115,8 @@ def aps_search(
         pid_chunk = lax.dynamic_slice(pids_p, (0, i * chunk), (B, chunk))
         eff = jnp.where(active[:, None], pid_chunk, -1)
         n_new = jnp.sum((eff >= 0).astype(jnp.int32), axis=1)
-        for c in range(chunk):
-            s, si = _scan_rank(q, q_sq, eff[:, c], codes, ids, k, metric)
-            scores, sids = merge_topk(scores, sids, s, si, k)
+        s, si = scan_chunk(eff)
+        scores, sids = merge_topk(scores, sids, s, si, k)
 
         kth = scores[:, k - 1]
         if metric == "l2":
@@ -165,6 +143,70 @@ def aps_search(
 
     _, scores, sids, _, _, _, scanned = lax.while_loop(cond, body, init)
     return scores, sids, scanned
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "k", "metric", "dimension", "chunk", "use_precomputed", "qt", "use_pallas",
+    ),
+)
+def aps_search(
+    codes,
+    ids,
+    centroids,
+    q,
+    pids,
+    recall_target,
+    recompute_threshold,
+    k: int,
+    metric: str,
+    dimension: int,
+    chunk: int = 4,
+    use_precomputed: bool = True,
+    table=None,
+    qt: int = 32,
+    use_pallas: bool = False,
+):
+    """Adaptive partition scan with recall-target early termination.
+
+    pids: [B, M] candidate partitions in rank order (nearest centroid first,
+    -1 = pad) — the initial_search_fraction set from the parent search
+    (query_coordinator.cpp:636-641). Scans `chunk` ranked partitions per
+    while-loop step; queries whose estimated cumulative recall passes the
+    target go inactive (their remaining chunk scans are masked out).
+
+    Each chunk scans PARTITION-MAJOR via the grouped kernel (the same
+    machinery as the fixed-nprobe path): probed partitions stream once per
+    chunk regardless of batch size, so recall-target mode scales to
+    production batches — the reference treats APS as first-class in its
+    batched path too (query_coordinator.cpp:675-799 with the termination
+    loop at :383-430). The old query-major per-rank gather materialized
+    [B, C, D] slabs (~3.2 GB per rank at B=4096) and OOM'd.
+
+    Returns (scores [B,k], ids [B,k], partitions_scanned [B]).
+    """
+    from quake_tpu.ops.grouped import grouped_scan_xla
+
+    boundary, valid, table = aps_setup(
+        q, centroids, pids, dimension, use_precomputed, table
+    )
+
+    def scan_chunk(eff):
+        if use_pallas:
+            from quake_tpu.ops.pallas_grouped import grouped_scan_pallas
+
+            s, si, _ = grouped_scan_pallas(codes, ids, q, eff, k, metric, qt=qt)
+        else:
+            s, si, _ = grouped_scan_xla(
+                codes, ids, q, eff, k, metric, qt=qt, group_chunk=64
+            )
+        return s, si
+
+    return aps_loop(
+        q, pids, boundary, valid, table, recall_target, recompute_threshold,
+        k, metric, dimension, chunk, use_precomputed, scan_chunk,
+    )
 
 
 @functools.partial(

@@ -174,8 +174,13 @@ def recall_profile(boundary, radius, dimension: int, metric: str = "l2",
     if valid is not None:
         p = jnp.where(valid, p, 0.0)
     p = jnp.where(jnp.isfinite(R) & (R > 0), p, 0.0)
-    # Heuristic for the nearest partition (geometry.h:379).
-    p = p.at[:, 0].set(2.0 * p[:, 1])
+    # Heuristic for the nearest partition (geometry.h:379). With a single
+    # candidate (M == 1) there is no rank-1 column — the reference raises in
+    # that case (geometry.h:345-355); here the home partition keeps all mass
+    # via the fallback below, so skip the heuristic instead of letting JAX's
+    # index clamping silently read column 0.
+    if M >= 2:
+        p = p.at[:, 0].set(2.0 * p[:, 1])
     s = jnp.sum(p, axis=1, keepdims=True)
     # All-caps-empty fallback: a finite k-th-distance ball that crosses NO
     # Voronoi bisector lies entirely in the home (rank-0) partition, so the

@@ -339,7 +339,18 @@ class QuakeIndex:
         else:
             parent_k = min(int(sp.nprobe), self.nlist())
         parent_k_padded = min(next_pow2(parent_k, self._nprobe_bucket), self.parent_ntotal())
-        parent_sp = SearchParams(k=parent_k_padded, batched_scan=True)
+        # Propagate adaptive-search params into the parent search
+        # (query_coordinator.cpp:628-634) so a multi-level parent does not
+        # fall back to default nprobe=1; for non-APS multi-level parents the
+        # caller's nprobe is the sane mid-level probe count.
+        parent_sp = SearchParams(
+            k=parent_k_padded,
+            batched_scan=True,
+            nprobe=sp.nprobe,
+            recall_target=sp.recall_target,
+            use_precomputed=sp.use_precomputed,
+            recompute_threshold=sp.recompute_threshold,
+        )
         t1 = _now_ns()
         p_scores, p_ids32, p_timing = self.parent._search_device(q, parent_sp)
         timing.parent_info = p_timing
@@ -356,21 +367,39 @@ class QuakeIndex:
                 if sp.use_precomputed
                 else None
             )
-            scores, ids32, scanned = coordinator.aps_search(
-                state.codes,
-                state.ids,
-                state.centroids,
-                q,
-                pids,
-                jnp.float32(sp.recall_target),
-                jnp.float32(sp.recompute_threshold),
-                k=k,
-                metric=self.metric,
-                dimension=self.aps_dimension or self.d(),
-                chunk=max(int(sp.aps_chunk_size), 1),
-                use_precomputed=bool(sp.use_precomputed),
-                table=table,
-            )
+            chunk = max(int(sp.aps_chunk_size), 1)
+            qt, group_chunk = self._grouped_params(int(q.shape[0]), chunk)
+            if self.mesh is not None:
+                from quake_tpu.parallel.sharded import sharded_aps_search
+
+                scores, ids32, scanned = sharded_aps_search(
+                    self.mesh, state.codes, state.ids, state.centroids,
+                    q, pids,
+                    jnp.float32(sp.recall_target),
+                    jnp.float32(sp.recompute_threshold),
+                    k=k, metric=self.metric,
+                    dimension=self.aps_dimension or self.d(),
+                    chunk=chunk, use_precomputed=bool(sp.use_precomputed),
+                    table=table, qt=qt, group_chunk=group_chunk,
+                )
+            else:
+                scores, ids32, scanned = coordinator.aps_search(
+                    state.codes,
+                    state.ids,
+                    state.centroids,
+                    q,
+                    pids,
+                    jnp.float32(sp.recall_target),
+                    jnp.float32(sp.recompute_threshold),
+                    k=k,
+                    metric=self.metric,
+                    dimension=self.aps_dimension or self.d(),
+                    chunk=chunk,
+                    use_precomputed=bool(sp.use_precomputed),
+                    table=table,
+                    qt=qt,
+                    use_pallas=self._use_pallas(),
+                )
             timing.partitions_scanned = int(np.asarray(scanned).mean()) if scanned.size else 0
             self._record_hits(pids, scanned)
         elif self.mesh is not None:
@@ -523,7 +552,13 @@ class QuakeIndex:
         }
         with open(os.path.join(path, "metadata.json"), "w") as f:
             json.dump(meta, f)
-        np.save(os.path.join(path, "codes.npy"), np.asarray(state.codes, dtype=np.float32))
+        codes_np = np.asarray(state.codes)
+        if state.codes.dtype == jnp.bfloat16:
+            # Store bf16 natively (as a uint16 bit view — np.save has no
+            # bfloat16) so the checkpoint reflects the stored precision
+            # instead of doubling via an f32 upcast.
+            codes_np = codes_np.view(np.uint16)
+        np.save(os.path.join(path, "codes.npy"), codes_np)
         np.save(os.path.join(path, "ids.npy"), np.asarray(state.ids))
         np.save(os.path.join(path, "sizes.npy"), np.asarray(state.sizes))
         np.save(os.path.join(path, "centroids.npy"), np.asarray(state.centroids))
@@ -546,6 +581,10 @@ class QuakeIndex:
         from quake_tpu.storage.store import StoreState
 
         codes = np.load(os.path.join(path, "codes.npy"))
+        if codes.dtype == np.uint16:  # bf16 checkpoints store the bit view
+            import ml_dtypes
+
+            codes = codes.view(ml_dtypes.bfloat16)
         ids = np.load(os.path.join(path, "ids.npy"))
         sizes = np.load(os.path.join(path, "sizes.npy"))
         centroids = np.load(os.path.join(path, "centroids.npy"))

@@ -39,16 +39,23 @@ class HitCountTracker:
         b = int(pids_dev.shape[0])
         self._pending.append((pids_dev, scanned_dev))
         self._pending_queries += b
-        # Bound device-array retention: keep only enough batches to fill the window.
+        # True circular-window semantics (hit_count_tracker.cpp:43-66):
+        # evict an old pending batch only when the RETAINED batches alone
+        # already fill the window (the evicted entries could never survive
+        # materialize + trim), and trim host entries incrementally by count —
+        # never wholesale, so interleaved host/device recording keeps every
+        # still-in-window entry.
         while (
             self._pending_queries - int(self._pending[0][0].shape[0])
             >= self.window_size
         ):
             dropped = self._pending.pop(0)
             self._pending_queries -= int(dropped[0].shape[0])
-            # Older host-side entries are superseded entirely.
-            self._queries.clear()
-            self._scanned_sizes.clear()
+        excess = len(self._queries) + self._pending_queries - self.window_size
+        if excess > 0:
+            n = min(excess, len(self._queries))
+            del self._queries[:n]
+            del self._scanned_sizes[:n]
 
     def _materialize(self, partition_sizes: np.ndarray | None = None):
         """Transfer pending device batches into the host window."""

@@ -103,6 +103,85 @@ def sharded_flat_search(mesh, codes, ids, q, k: int, metric: str,
     return fn(codes, ids, q)
 
 
+def sharded_aps_search(mesh, codes, ids, centroids, q, pids, recall_target,
+                       recompute_threshold, k: int, metric: str,
+                       dimension: int, chunk: int = 4,
+                       use_precomputed: bool = True, table=None,
+                       qt: int = 32, group_chunk: int = 64,
+                       strategy: str | None = None):
+    """Recall-target (APS) search over sharded slabs.
+
+    The whole APS while-loop runs inside shard_map: each chunk's grouped
+    scan is local to the device's slab slice, followed by an all_gather
+    top-k merge, so the termination state (radius / recall profile / active
+    mask) is replicated-identical on every device — the mesh analog of the
+    reference worker path honoring recall_target
+    (query_coordinator.cpp:243-469).
+
+    codes [P, C, D] / ids [P, C] sharded (slot or partition strategy);
+    centroids, q, pids replicated. Returns replicated
+    (scores [B,k], ids [B,k], scanned [B]).
+    """
+    from quake_tpu.coordinator import aps_loop, aps_setup
+    from quake_tpu.ops.grouped import grouped_scan_xla
+
+    if strategy is None:
+        strategy = "slot" if _detect_slot_sharded(codes) else "partition"
+    if table is None and use_precomputed:
+        from quake_tpu.geometry import beta_table
+
+        table = beta_table(dimension, "l2")
+    if table is None:
+        table = jnp.zeros((2, 1), jnp.float32)  # dummy; unused when not precomputed
+
+    def local(codes_l, ids_l, cents, q_l, pids_l, table_l):
+        boundary, valid, _ = aps_setup(
+            q_l, cents, pids_l, dimension, use_precomputed=False, table=None
+        )
+
+        if strategy == "slot":
+
+            def scan_chunk(eff):
+                s, i, _ = grouped_scan_xla(
+                    codes_l, ids_l, q_l, eff, k, metric,
+                    qt=qt, group_chunk=group_chunk,
+                )
+                return _merge_gathered(s, i, k, SHARD_AXIS)
+
+        else:
+
+            def scan_chunk(eff):
+                dev = lax.axis_index(SHARD_AXIS)
+                p_local = codes_l.shape[0]
+                local_idx = eff - dev.astype(jnp.int32) * p_local
+                owned = (eff >= 0) & (local_idx >= 0) & (local_idx < p_local)
+                leff = jnp.where(owned, local_idx, -1)
+                s, i, _ = grouped_scan_xla(
+                    codes_l, ids_l, q_l, leff, k, metric,
+                    qt=qt, group_chunk=group_chunk,
+                )
+                return _merge_gathered(s, i, k, SHARD_AXIS)
+
+        return aps_loop(
+            q_l, pids_l, boundary, valid, table_l, recall_target,
+            recompute_threshold, k, metric, dimension, chunk,
+            use_precomputed, scan_chunk,
+        )
+
+    if strategy == "slot":
+        store_spec = P(None, SHARD_AXIS)
+    else:
+        store_spec = P(SHARD_AXIS)
+    fn = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(store_spec, store_spec, P(), P(), P(), P()),
+        out_specs=(P(), P(), P()),
+        check_vma=False,
+    )
+    return fn(codes, ids, centroids, q, pids, table)
+
+
 def sharded_kmeans_step(mesh, x_sharded, centroids, metric: str = "l2"):
     """One data-parallel Lloyd iteration: x rows sharded, centroids
     replicated; segment sums psum over the mesh. Returns (new_centroids

@@ -42,6 +42,44 @@ def test_hit_tracker_device_batches():
     assert hits[0].tolist() == [0, 1]  # only first `scanned` ranks counted
 
 
+def test_hit_tracker_device_overflow_keeps_circular_window():
+    """Device batches totaling > window_size behave as a true circular
+    window (hit_count_tracker.cpp:43-66): exactly the newest window_size
+    entries survive, in order."""
+    import jax.numpy as jnp
+
+    t = HitCountTracker(window_size=10, total_vectors=100)
+    # 5 batches of 4 queries each = 20 > window 10; batch b's queries hit
+    # partition b so survivors are identifiable.
+    for b in range(5):
+        pids = jnp.full((4, 2), b, dtype=jnp.int32)
+        scanned = jnp.ones(4, dtype=jnp.int32)
+        t.add_batch_device(pids, scanned)
+    assert t.get_num_queries_recorded() <= 12  # retained batches < window + batch
+    hits = t.get_per_query_hits(np.full(8, 10))
+    assert len(hits) == 10
+    # Newest entries win: last 2 batches (8 queries) fully present plus 2
+    # from batch 2.
+    got = [int(h[0]) for h in hits]
+    assert got == [2, 2, 3, 3, 3, 3, 4, 4, 4, 4]
+
+
+def test_hit_tracker_interleaved_host_device_keeps_host_entries():
+    """Interleaving host recording with device batches must not discard
+    still-in-window host entries (round-1 advisor finding)."""
+    import jax.numpy as jnp
+
+    t = HitCountTracker(window_size=10, total_vectors=100)
+    for _ in range(4):
+        t.add_query_data(np.array([7]), scanned_size=10)
+    for _ in range(3):  # 3 device batches of 3 = 9; total 13 > 10
+        t.add_batch_device(jnp.zeros((3, 1), jnp.int32), jnp.ones(3, jnp.int32))
+    hits = t.get_per_query_hits(np.full(8, 10))
+    assert len(hits) == 10
+    # 1 host entry (the newest of the 4) must survive ahead of the 9 device ones.
+    assert [int(h[0]) for h in hits] == [7] + [0] * 9
+
+
 # --------------------------- latency estimator -------------------------------
 
 

@@ -66,6 +66,62 @@ def test_sharded_partition_strategy_matches(small_data):
     assert (np.asarray(scanned) == 32).all()
 
 
+def test_sharded_aps_matches_single_device(small_data):
+    """Recall-target (APS) search on a mesh == single-device APS: the
+    termination state is replicated-identical, so scanned counts and results
+    match exactly (the worker path honors recall_target in the reference,
+    query_coordinator.cpp:243-469)."""
+    x, ids, q = small_data
+    idx = QuakeIndex()
+    idx.build(x, ids, IndexBuildParams(nlist=32))
+    sp = SearchParams(k=10, recall_target=0.9, initial_search_fraction=0.5)
+    res_single = idx.search(q, sp)
+    scanned_single = res_single.timing_info.partitions_scanned
+
+    idx.shard(len(jax.devices()))
+    res_sharded = idx.search(q, sp)
+    np.testing.assert_array_equal(res_single.ids, res_sharded.ids)
+    np.testing.assert_allclose(
+        res_single.distances, res_sharded.distances, rtol=1e-5, atol=1e-5
+    )
+    assert res_sharded.timing_info.partitions_scanned == scanned_single
+
+
+def test_sharded_aps_partition_strategy(small_data):
+    """APS with partition-axis (block ownership) sharding returns correct
+    top-k and meets the recall target."""
+    from quake_tpu.parallel.sharded import sharded_aps_search
+
+    x, ids, q = small_data
+    idx = QuakeIndex()
+    idx.build(x, ids, IndexBuildParams(nlist=32))
+    state = idx.store.state
+    qd = jnp.asarray(q)
+    from quake_tpu.ops.scan import flat_scan
+
+    _, pids = flat_scan(
+        qd, state.centroids, jnp.arange(state.centroids.shape[0], dtype=jnp.int32),
+        16, "l2",
+    )
+    mesh = make_mesh()
+    sharded = shard_store_state(state, mesh, strategy="partition")
+    s, i, scanned = sharded_aps_search(
+        mesh, sharded.codes, sharded.ids, state.centroids, qd, pids,
+        jnp.float32(0.9), jnp.float32(0.0), k=10, metric="l2",
+        dimension=idx.aps_dimension or idx.d(), strategy="partition",
+    )
+    # Parity with the single-device APS on identical candidates.
+    from quake_tpu.coordinator import aps_search
+
+    s0, i0, scanned0 = aps_search(
+        state.codes, state.ids, state.centroids, qd, pids,
+        jnp.float32(0.9), jnp.float32(0.0), k=10, metric="l2",
+        dimension=idx.aps_dimension or idx.d(),
+    )
+    np.testing.assert_array_equal(np.asarray(i0), np.asarray(i))
+    np.testing.assert_array_equal(np.asarray(scanned0), np.asarray(scanned))
+
+
 def test_sharded_mutation_after_sharding(small_data):
     """Add/remove still work on a sharded store (sharding propagates
     through the functional update programs)."""
