@@ -148,7 +148,7 @@ def aps_loop(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "k", "metric", "dimension", "chunk", "use_precomputed", "qt", "use_pallas",
+        "k", "metric", "dimension", "chunk", "use_precomputed", "qt", "kernel",
     ),
 )
 def aps_search(
@@ -166,7 +166,9 @@ def aps_search(
     use_precomputed: bool = True,
     table=None,
     qt: int = 32,
-    use_pallas: bool = False,
+    kernel: str = "xla",
+    sizes=None,
+    norms=None,
 ):
     """Adaptive partition scan with recall-target early termination.
 
@@ -186,21 +188,14 @@ def aps_search(
 
     Returns (scores [B,k], ids [B,k], partitions_scanned [B]).
     """
-    from quake_tpu.ops.grouped import grouped_scan_xla
-
     boundary, valid, table = aps_setup(
         q, centroids, pids, dimension, use_precomputed, table
     )
 
     def scan_chunk(eff):
-        if use_pallas:
-            from quake_tpu.ops.pallas_grouped import grouped_scan_pallas
-
-            s, si, _ = grouped_scan_pallas(codes, ids, q, eff, k, metric, qt=qt)
-        else:
-            s, si, _ = grouped_scan_xla(
-                codes, ids, q, eff, k, metric, qt=qt, group_chunk=64
-            )
+        s, si, _ = grouped_scan(
+            codes, ids, sizes, norms, q, eff, k, metric, qt, 64, kernel
+        )
         return s, si
 
     return aps_loop(
@@ -209,14 +204,48 @@ def aps_search(
     )
 
 
+def grouped_scan(codes, ids, sizes, norms, q, pids, k: int, metric: str,
+                 qt: int, group_chunk: int, kernel: str):
+    """Dispatch to a grouped-scan backend by name.
+
+    kernel: "xla" (chunked lax.map — any platform), "v2" (whole-slab Pallas,
+    id-tie-break selection), "v3" (slot selection + cached norms + size
+    masking), "v3p" (float-packed selection + exact rescore; the fastest
+    measured on v5e). All return (scores [B,k], ids [B,k], scanned [B]).
+    """
+    if kernel == "v3p2":
+        from quake_tpu.ops.pallas_grouped import grouped_scan_pallas_v3p2
+
+        return grouped_scan_pallas_v3p2(codes, ids, sizes, norms, q, pids,
+                                        k, metric, qt=qt)
+    if kernel == "v3p":
+        from quake_tpu.ops.pallas_grouped import grouped_scan_pallas_v3p
+
+        return grouped_scan_pallas_v3p(codes, ids, sizes, norms, q, pids,
+                                       k, metric, qt=qt)
+    if kernel == "v3":
+        from quake_tpu.ops.pallas_grouped import grouped_scan_pallas_v3
+
+        return grouped_scan_pallas_v3(codes, ids, sizes, norms, q, pids,
+                                      k, metric, qt=qt)
+    if kernel == "v2":
+        from quake_tpu.ops.pallas_grouped import grouped_scan_pallas
+
+        return grouped_scan_pallas(codes, ids, q, pids, k, metric, qt=qt)
+    from quake_tpu.ops.grouped import grouped_scan_xla
+
+    return grouped_scan_xla(codes, ids, q, pids, k, metric, qt=qt,
+                            group_chunk=group_chunk, norms=norms)
+
+
 @functools.partial(
     jax.jit,
-    static_argnames=("k", "nprobe", "metric", "qt", "group_chunk", "use_pallas"),
+    static_argnames=("k", "nprobe", "metric", "qt", "group_chunk", "kernel"),
 )
 def fused_ivf_search(
-    codes, ids, parent_codes, parent_ids, q,
+    codes, ids, sizes, norms, parent_codes, parent_ids, q,
     k: int, nprobe: int, metric: str, qt: int, group_chunk: int,
-    use_pallas: bool = False,
+    kernel: str = "xla",
 ):
     """End-to-end fixed-nprobe search as ONE device program: parent centroid
     scan -> partition-major grouped scan -> top-k merge -> distance
@@ -226,7 +255,6 @@ def fused_ivf_search(
 
     Returns (scores, ids32, distances, scanned, pids).
     """
-    from quake_tpu.ops.grouped import grouped_scan_xla
     from quake_tpu.ops.scan import scores_to_distances
 
     Pp, Cp, D = parent_codes.shape
@@ -234,16 +262,9 @@ def fused_ivf_search(
         q, parent_codes.reshape(Pp * Cp, D), parent_ids.reshape(Pp * Cp),
         nprobe, metric, approx=True,
     )
-    if use_pallas:
-        from quake_tpu.ops.pallas_grouped import grouped_scan_pallas
-
-        scores, ids32, scanned = grouped_scan_pallas(
-            codes, ids, q, pids, k, metric, qt=qt
-        )
-    else:
-        scores, ids32, scanned = grouped_scan_xla(
-            codes, ids, q, pids, k, metric, qt=qt, group_chunk=group_chunk
-        )
+    scores, ids32, scanned = grouped_scan(
+        codes, ids, sizes, norms, q, pids, k, metric, qt, group_chunk, kernel
+    )
     dists = scores_to_distances(scores, ids32, metric)
     return scores, ids32, dists, scanned, pids
 

@@ -61,6 +61,7 @@ class QuakeIndex:
         self.maintenance_policy = None  # set by initialize_maintenance_policy
         self.mesh = None  # device mesh when num_shards > 1
         self.aps_dimension = 0  # effective dim for the APS recall model
+        self.latency_profile = None  # profiled (n, k) grid, else analytic
         self._nprobe_bucket = 8  # pow2 padding for probe lists
 
     # ------------------------------------------------------------------ build
@@ -129,12 +130,33 @@ class QuakeIndex:
         if bp.nlist > 1 and bp.calibrate_aps and n >= 50_000:
             self.calibrate_aps()
 
-        if bp.num_shards > 1:
-            self.shard(bp.num_shards)
+        # Reference spawns num_workers scan workers at build
+        # (quake_index.cpp:85); the TPU analog of a worker is a mesh shard.
+        n_shards = bp.num_shards
+        if n_shards <= 1 and bp.num_workers > 1 and len(jax.devices()) >= bp.num_workers:
+            n_shards = bp.num_workers
+        if n_shards > 1:
+            self.shard(n_shards)
 
+        if bp.profile_maintenance_latency:
+            self.profile_latency()
         self.initialize_maintenance_policy(MaintenancePolicyParams())
         timing.total_time_us = _now_us() - t0
         return timing
+
+    def profile_latency(self, n_values=None, k_values=None):
+        """Profile the production grouped kernel's (n, k) latency grid and
+        feed it to the maintenance cost estimator (quake_index.cpp:81-82 ->
+        maintenance_cost_estimator.cpp:59-94). Cached as CSV by save();
+        reused by load()."""
+        from quake_tpu.maintenance.latency_estimator import ListScanLatencyEstimator
+
+        est = ListScanLatencyEstimator(self.d(), n_values=n_values, k_values=k_values)
+        est.profile_grouped_latency(kernel=self._grouped_kernel())
+        self.latency_profile = est
+        if self.maintenance_policy is not None:
+            self.maintenance_policy.cost_estimator.latency_estimator = est
+        return est
 
     def calibrate_aps(self, target: float = 0.9, nq: int = 64, k: int = 10):
         """Calibrate the APS recall model's dimension against realized recall.
@@ -260,16 +282,18 @@ class QuakeIndex:
                     scores, ids32, timing = self._search_device(q, sp)
                     return scores, ids32, timing, None
                 scores, ids32, dists, scanned, pids = sharded_fused_search(
-                    self.mesh, state.codes, state.ids, pstate.codes, pstate.ids,
+                    self.mesh, state.codes, state.ids, state.norms,
+                    pstate.codes, pstate.ids,
                     q, k=k, nprobe=parent_k, metric=self.metric,
                     qt=qt, group_chunk=group_chunk,
                 )
             else:
                 scores, ids32, dists, scanned, pids = coordinator.fused_ivf_search(
-                    state.codes, state.ids, pstate.codes, pstate.ids, q,
+                    state.codes, state.ids, state.sizes, state.norms,
+                    pstate.codes, pstate.ids, q,
                     k=k, nprobe=parent_k, metric=self.metric,
                     qt=qt, group_chunk=group_chunk,
-                    use_pallas=self._use_pallas(),
+                    kernel=self._grouped_kernel(),
                 )
             timing.partitions_scanned = parent_k
             timing.parent_info = SearchTimingInfo(
@@ -293,13 +317,20 @@ class QuakeIndex:
         scores, ids32, timing = self._search_device(q, sp)
         return scores, ids32, timing, None
 
-    def _use_pallas(self) -> bool:
-        """Mosaic kernels only lower on real TPU backends; measured ~5x over
-        the chunked-XLA grouped scan there."""
+    def _grouped_kernel(self) -> str:
+        """Grouped-scan backend choice. Mosaic kernels only lower on real TPU
+        backends (measured ~5x over the chunked-XLA grouped scan); the
+        QUAKE_TPU_KERNEL env var overrides for A/B runs ("xla"/"v2"/"v3"/
+        "v3p")."""
+        override = os.environ.get("QUAKE_TPU_KERNEL")
+        if override:
+            return override
         try:
-            return jax.default_backend() == "tpu"
+            if jax.default_backend() == "tpu":
+                return "v3p2"
         except Exception:
-            return False
+            pass
+        return "xla"
 
     def _grouped_params(self, B: int, parent_k: int):
         # qt tracks expected queries-per-partition, capped at 32: the
@@ -398,7 +429,9 @@ class QuakeIndex:
                     use_precomputed=bool(sp.use_precomputed),
                     table=table,
                     qt=qt,
-                    use_pallas=self._use_pallas(),
+                    kernel=self._grouped_kernel(),
+                    sizes=state.sizes,
+                    norms=state.norms,
                 )
             timing.partitions_scanned = int(np.asarray(scanned).mean()) if scanned.size else 0
             self._record_hits(pids, scanned)
@@ -470,10 +503,8 @@ class QuakeIndex:
 
         t1 = _now_us()
         if self.parent is not None:
-            # Exact 1-NN assignment via parent (partition_manager.cpp:219-231).
-            sp = SearchParams(k=1, nprobe=self.parent.nlist(), batched_scan=True)
-            _, rows32, _ = self.parent._search_device(jnp.asarray(x), sp)
-            rows = np.asarray(rows32)[:, 0].astype(np.int32)
+            rows = self._assign_rows(x)
+            rows = self._ensure_room_by_splitting(rows, x, ids)
         else:
             rows = np.zeros(x.shape[0], dtype=np.int32)
         timing.find_partition_time_us = _now_us() - t1
@@ -523,6 +554,113 @@ class QuakeIndex:
     def get_ids(self) -> np.ndarray:
         return self.store.get_ids()
 
+    def split_partitions(self, rows) -> list:
+        """2-way k-means per partition; delete originals, add the halves
+        (partition_manager.cpp:393-445). Used by maintenance splits and by
+        capacity-overflow handling in add(). Returns the new rows."""
+        from quake_tpu.kmeans import kmeans_np
+
+        store = self.store
+        split_cents, split_vecs, split_ids = [], [], []
+        for r in rows:
+            vecs, vids = store.get_partition(int(r))
+            cents, clusters = kmeans_np(vecs, vids, 2, self.metric)
+            for j in range(2):
+                split_cents.append(cents[j])
+                split_vecs.append(clusters[j][0])
+                split_ids.append(clusters[j][1])
+        # Delete originals without reassignment; their vectors live on in the halves.
+        self.parent.remove(np.asarray(rows, dtype=np.int64))
+        store.delete_partitions([int(r) for r in rows])
+        new_rows = store.allocate_rows(len(split_cents))
+        store.write_partitions(new_rows, split_vecs, split_ids, split_cents)
+        self.parent.add(
+            np.asarray(split_cents, dtype=np.float32),
+            np.asarray(new_rows, dtype=np.int64),
+        )
+        return new_rows
+
+    def _assign_rows(self, x) -> np.ndarray:
+        """Exact 1-NN partition assignment via the parent
+        (partition_manager.cpp:219-231)."""
+        sp = SearchParams(k=1, nprobe=self.parent.nlist(), batched_scan=True)
+        _, rows32, _ = self.parent._search_device(jnp.asarray(x), sp)
+        return np.asarray(rows32)[:, 0].astype(np.int32)
+
+    def _ensure_room_by_splitting(self, rows: np.ndarray, x, ids) -> np.ndarray:
+        """Capacity-isolation growth: when an insert batch would overflow a
+        partition's slab capacity AND that partition is an outlier (>1.5x the
+        post-insert mean — the same cap the build-time balancer uses), split
+        it k-ways over the union of its residents and the incoming vectors,
+        inserting them in the process. Uniform growth (every partition
+        filling up as the corpus grows) still grows C — total scanned bytes
+        must track ntotal — but one hot partition can no longer double the
+        whole slab's capacity.
+
+        The reference grows per-partition buffers in place
+        (index_partition.cpp:247-255); in the padded-slab layout the
+        TPU-native equivalent of isolated growth is a local split (Voronoi
+        refinement — bytes scanned for untouched partitions unchanged).
+
+        Returns rows with handled (already-inserted) vectors marked -1.
+        """
+        from quake_tpu.kmeans import kmeans_np
+
+        store = self.store
+        sizes = store.partition_sizes()
+        counts = np.bincount(rows[rows >= 0], minlength=store.P)
+        need = sizes + counts
+        over = np.nonzero(need > store.C)[0]
+        if over.size == 0:
+            return rows
+        mean_after = (self.ntotal() + int((rows >= 0).sum())) / max(self.nlist(), 1)
+        cap = max(256, -(-int(1.5 * mean_after) // 256) * 256)
+        split_rows = [int(r) for r in over if need[r] > cap]
+        if not split_rows:
+            return rows  # uniform growth: append's ensure_capacity grows C
+
+        rows = rows.copy()
+        target_fill = max(int(0.75 * store.C), 1)
+        all_cents, all_vecs, all_ids = [], [], []
+        for r in split_rows:
+            vecs, vids = store.get_partition(r)
+            m = rows == r
+            uv = np.concatenate([vecs, x[m]]) if m.any() else vecs
+            uids = np.concatenate([vids, to_i64(ids)[m]]) if m.any() else vids
+            nsplit = max(2, -(-len(uids) // target_fill))
+            cents, clusters = kmeans_np(uv, uids, nsplit, self.metric)
+            for j in range(len(cents)):
+                cvecs, cids = clusters[j]
+                if len(cids) <= target_fill:
+                    all_cents.append(cents[j])
+                    all_vecs.append(cvecs)
+                    all_ids.append(cids)
+                    continue
+                # k-means cannot separate near-duplicate floods (the whole
+                # ball lands in one cell); chop oversized cells by order —
+                # the slab analog of the reference just growing that one
+                # partition's buffer, kept isolated from global C.
+                n_chunks = -(-len(cids) // target_fill)
+                for piece_v, piece_i in zip(
+                    np.array_split(cvecs, n_chunks),
+                    np.array_split(cids, n_chunks),
+                ):
+                    all_cents.append(
+                        piece_v.mean(axis=0, dtype=np.float64).astype(np.float32)
+                    )
+                    all_vecs.append(piece_v)
+                    all_ids.append(piece_i)
+            rows[m] = -1  # inserted via the split write below
+        self.parent.remove(np.asarray(split_rows, dtype=np.int64))
+        store.delete_partitions(split_rows)
+        new_rows = store.allocate_rows(len(all_cents))
+        store.write_partitions(new_rows, all_vecs, all_ids, all_cents)
+        self.parent.add(
+            np.asarray(all_cents, dtype=np.float32),
+            np.asarray(new_rows, dtype=np.int64),
+        )
+        return rows
+
     # ------------------------------------------------------------ maintenance
 
     def maintenance(self) -> MaintenanceTimingInfo:
@@ -564,6 +702,10 @@ class QuakeIndex:
         np.save(os.path.join(path, "centroids.npy"), np.asarray(state.centroids))
         np.save(os.path.join(path, "active.npy"), np.asarray(state.active))
         np.save(os.path.join(path, "generation.npy"), self.store.generation)
+        if self.latency_profile is not None:
+            # Cache the profiled grid beside the index, like the reference's
+            # CSV profile cache (maintenance_cost_estimator.cpp:255-365).
+            self.latency_profile.save(os.path.join(path, "latency_profile.csv"))
         if self.parent is not None:
             self.parent.save(os.path.join(path, "parent"))
 
@@ -590,12 +732,19 @@ class QuakeIndex:
         centroids = np.load(os.path.join(path, "centroids.npy"))
         active = np.load(os.path.join(path, "active.npy"))
         self.store = PartitionStore(meta["dimension"], dtype=dtype)
+        codes_dev = jnp.asarray(codes, dtype)
+        # Norms are derived data; recompute instead of persisting (keeps the
+        # checkpoint format lean and loads old checkpoints unchanged).
+        norms_dev = jnp.sum(
+            codes_dev.astype(jnp.float32) * codes_dev.astype(jnp.float32), axis=2
+        )
         self.store.state = StoreState(
-            jnp.asarray(codes, dtype),
+            codes_dev,
             jnp.asarray(ids),
             jnp.asarray(sizes),
             jnp.asarray(centroids),
             jnp.asarray(active),
+            norms_dev,
         )
         self.store.free_rows = list(meta["free_rows"])
         self.store.generation = np.load(os.path.join(path, "generation.npy"))
@@ -618,6 +767,11 @@ class QuakeIndex:
         # mesh shards (load re-creates workers in the reference).
         if n_workers > 1 and len(jax.devices()) >= n_workers:
             self.shard(n_workers)
+        from quake_tpu.maintenance.latency_estimator import ListScanLatencyEstimator
+
+        self.latency_profile = ListScanLatencyEstimator.from_csv(
+            os.path.join(path, "latency_profile.csv")
+        )
         self.initialize_maintenance_policy(MaintenancePolicyParams())
         return self
 

@@ -57,8 +57,16 @@ class ListScanLatencyEstimator:
     # -- grid construction -----------------------------------------------------
 
     def _analytic_latency(self, n: float, k: float) -> float:
-        bytes_streamed = (n + _TILE_OVERHEAD_ROWS) * self.d * 4.0
-        return bytes_streamed / _HBM_GBPS + k * _PER_K_NS
+        # The whole-slab kernel streams the 256-row tile-padded capacity a
+        # partition of n rows occupies, not n itself — model the same step
+        # function so split deltas reflect what the hardware actually saves.
+        # A small size-proportional term (merge/parent work tracks true
+        # occupancy) keeps L strictly monotone so the reference's marginal
+        # delta arithmetic (maintenance_cost_estimator.cpp:384-493) stays
+        # meaningful between tile boundaries.
+        padded = max(256.0, -(-float(n) // 256.0) * 256.0)
+        rows_effective = 0.9 * padded + 0.1 * float(n) + _TILE_OVERHEAD_ROWS
+        return rows_effective * self.d * 4.0 / _HBM_GBPS + k * _PER_K_NS
 
     def _analytic_grid(self) -> np.ndarray:
         grid = np.zeros((len(self.n_values), len(self.k_values)), dtype=np.float64)
@@ -68,8 +76,11 @@ class ListScanLatencyEstimator:
         return grid
 
     def profile_scan_latency(self):
-        """Measure the real jitted scan kernel over the grid
-        (maintenance_cost_estimator.cpp:59-94)."""
+        """Measure the real jitted flat-scan kernel over the grid
+        (maintenance_cost_estimator.cpp:59-94). Prefer
+        profile_grouped_latency — that measures the PRODUCTION serving
+        kernel; this per-call-synced flat profile mostly measures dispatch
+        on remote-attached TPUs."""
         import jax
         import jax.numpy as jnp
 
@@ -89,6 +100,65 @@ class ListScanLatencyEstimator:
                 self.latency_grid[i, j] = (
                     (time.perf_counter() - t0) / self.n_trials * 1e9
                 )
+
+    def profile_grouped_latency(self, kernel: str | None = None, qt: int = 32,
+                                n_queries: int = 1024):
+        """Profile the PRODUCTION grouped scan kernel over the (n, k) grid —
+        the analog of the reference profiling its real scan_list at build
+        (quake_index.cpp:81-82 -> maintenance_cost_estimator.cpp:59-94).
+
+        For each n: a store-shaped slab of partitions with exactly n resident
+        rows (tile-padded capacity, as the store would lay them out) is
+        scanned by a batch where each query probes one random partition.
+        L(n, k) = amortized call time / n_queries — the per-(query,
+        partition) marginal cost the split/delete delta formulas compare.
+        Amortized >=0.3s windows: per-call sync would measure the dispatch
+        tunnel, not the kernel.
+        """
+        import jax
+        import jax.numpy as jnp
+
+        from quake_tpu.coordinator import grouped_scan
+
+        if kernel is None:
+            kernel = "v3p" if jax.default_backend() == "tpu" else "xla"
+        Pp = 32
+        rng = np.random.default_rng(0)
+        q = jnp.asarray(rng.standard_normal((n_queries, self.d)).astype(np.float32))
+        pids = jnp.asarray(rng.integers(0, Pp, (n_queries, 1)).astype(np.int32))
+        for i, n in enumerate(self.n_values):
+            C = max(256, -(-int(n) // 256) * 256)
+            codes_np = rng.standard_normal((Pp, C, self.d)).astype(np.float32)
+            ids_np = np.full((Pp, C), -1, np.int32)
+            nn = min(int(n), C)
+            ids_np[:, :nn] = np.arange(Pp * nn, dtype=np.int32).reshape(Pp, nn)
+            codes_np[:, nn:] = 0.0
+            codes = jnp.asarray(codes_np)
+            ids_dev = jnp.asarray(ids_np)
+            sizes = jnp.full((Pp,), nn, jnp.int32)
+            norms = jnp.sum(codes * codes, axis=2)
+            for j, k in enumerate(self.k_values):
+                kk = max(min(int(k), C), 1)
+
+                def call():
+                    return grouped_scan(
+                        codes, ids_dev, sizes, norms, q, pids,
+                        kk, "l2", qt, 64, kernel,
+                    )
+
+                out = call()
+                jax.block_until_ready(out)
+                t0 = time.perf_counter()
+                out = call()
+                _ = np.asarray(out[0][:1, :1])
+                est = max(time.perf_counter() - t0, 1e-5)
+                reps = max(int(0.3 / est), self.n_trials)
+                t0 = time.perf_counter()
+                for _ in range(reps):
+                    out = call()
+                _ = np.asarray(out[0][:1, :1])
+                per_call = (time.perf_counter() - t0) / reps
+                self.latency_grid[i, j] = per_call / n_queries * 1e9
 
     # -- estimation ------------------------------------------------------------
 
@@ -136,6 +206,24 @@ class ListScanLatencyEstimator:
             w.writerow(["k"] + self.k_values)
             for row in self.latency_grid:
                 w.writerow([f"{v:.6g}" for v in row])
+
+    @classmethod
+    def from_csv(cls, path: str) -> "ListScanLatencyEstimator | None":
+        """Construct an estimator with the grid the CSV itself declares
+        (index load path — the cached profile defines its own grid)."""
+        if not os.path.exists(path):
+            return None
+        with open(path) as f:
+            rows = list(csv.reader(f))
+        if len(rows) < 3:
+            return None
+        est = cls(
+            d=int(rows[0][1]),
+            n_values=[int(v) for v in rows[1][1:]],
+            k_values=[int(v) for v in rows[2][1:]],
+        )
+        est.load(path)
+        return est
 
     def load(self, path: str) -> bool:
         """Load a cached profile; rejects mismatched grids

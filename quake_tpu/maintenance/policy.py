@@ -20,7 +20,7 @@ import time
 
 import numpy as np
 
-from quake_tpu.kmeans import kmeans_np, lloyd_refine_np
+from quake_tpu.kmeans import lloyd_refine_np
 from quake_tpu.maintenance.cost_estimator import MaintenanceCostEstimator
 from quake_tpu.maintenance.hit_tracker import HitCountTracker
 from quake_tpu.params import MaintenancePolicyParams, SearchParams
@@ -36,8 +36,13 @@ class MaintenancePolicy:
         self.index = index
         self.params = params
         # k=10 mirrors the reference's hardcoded estimator k
-        # (maintenance_policies.cpp:24-27).
-        self.cost_estimator = MaintenanceCostEstimator(index.d(), params.alpha, 10)
+        # (maintenance_policies.cpp:24-27). A build-time/loaded profiled
+        # latency grid (index.profile_latency) replaces the analytic model
+        # when present — reference semantics: quake_index.cpp:81-82.
+        self.cost_estimator = MaintenanceCostEstimator(
+            index.d(), params.alpha, 10,
+            latency_estimator=getattr(index, "latency_profile", None),
+        )
         self.hit_count_tracker = HitCountTracker(
             params.window_size, max(index.ntotal(), 1)
         )
@@ -178,25 +183,7 @@ class MaintenancePolicy:
     def _split_partitions(self, rows) -> list[int]:
         """2-way k-means per partition; delete originals, add the halves
         (partition_manager.cpp:393-445 + maintenance_policies.cpp:150-163)."""
-        store = self.index.store
-        split_cents, split_vecs, split_ids = [], [], []
-        for r in rows:
-            vecs, vids = store.get_partition(int(r))
-            cents, clusters = kmeans_np(vecs, vids, 2, self.index.metric)
-            for j in range(2):
-                split_cents.append(cents[j])
-                split_vecs.append(clusters[j][0])
-                split_ids.append(clusters[j][1])
-        # Delete originals without reassignment; their vectors live on in the halves.
-        self.index.parent.remove(np.asarray(rows, dtype=np.int64))
-        store.delete_partitions([int(r) for r in rows])
-        new_rows = store.allocate_rows(len(split_cents))
-        store.write_partitions(new_rows, split_vecs, split_ids, split_cents)
-        self.index.parent.add(
-            np.asarray(split_cents, dtype=np.float32),
-            np.asarray(new_rows, dtype=np.int64),
-        )
-        return new_rows
+        return self.index.split_partitions(rows)
 
     def local_refinement(self, rows):
         """Refine the k-NN neighborhood of the given (split) partitions

@@ -108,8 +108,11 @@ def build_groups(pids, nlist_cap: int, qt: int):
     )
 
 
-def _group_scores(qg, slab, sids, metric: str):
-    """qg [Gc, QT, D], slab [Gc, C, D], sids [Gc, C] -> scores [Gc, QT, C]."""
+def _group_scores(qg, slab, sids, metric: str, snorms=None):
+    """qg [Gc, QT, D], slab [Gc, C, D], sids [Gc, C] -> scores [Gc, QT, C].
+
+    snorms: optional [Gc, C] cached squared norms of the slab (StoreState.norms)
+    — skips the per-slab ||x||^2 reduction."""
     prod = jax.lax.dot_general(
         qg,
         slab,
@@ -118,10 +121,11 @@ def _group_scores(qg, slab, sids, metric: str):
     )
     if metric == "l2":
         qf = qg.astype(jnp.float32)
-        sf = slab.astype(jnp.float32)
         q_sq = jnp.sum(qf * qf, axis=2)  # [Gc, QT]
-        s_sq = jnp.sum(sf * sf, axis=2)  # [Gc, C]
-        scores = 2.0 * prod - q_sq[:, :, None] - s_sq[:, None, :]
+        if snorms is None:
+            sf = slab.astype(jnp.float32)
+            snorms = jnp.sum(sf * sf, axis=2)  # [Gc, C]
+        scores = 2.0 * prod - q_sq[:, :, None] - snorms[:, None, :]
     else:
         scores = prod
     return jnp.where((sids >= 0)[:, None, :], scores, NEG_INF)
@@ -131,10 +135,11 @@ def _group_scores(qg, slab, sids, metric: str):
     jax.jit, static_argnames=("k", "metric", "qt", "group_chunk")
 )
 def grouped_scan_xla(codes, ids, q, pids, k: int, metric: str,
-                     qt: int = 64, group_chunk: int = 64):
+                     qt: int = 64, group_chunk: int = 64, norms=None):
     """Partition-major batched scan, chunked-XLA backend.
 
-    codes [P, C, D], ids [P, C], q [B, D], pids [B, nprobe] int32.
+    codes [P, C, D], ids [P, C], q [B, D], pids [B, nprobe] int32;
+    norms: optional [P, C] cached squared norms.
     Returns (scores [B, k], ids [B, k], partitions_scanned [B]).
     """
     B, D = q.shape
@@ -162,7 +167,8 @@ def grouped_scan_xla(codes, ids, q, pids, k: int, metric: str,
         sids = jnp.where((gpid >= 0)[:, None], sids, -1)
         safe_q = jnp.where(gql >= 0, gql, 0)
         qg = q_cast[safe_q]  # [Gc, QT, D]
-        scores = _group_scores(qg, slab, sids, metric)  # [Gc, QT, C]
+        snorms = norms[safe_pid] if norms is not None else None
+        scores = _group_scores(qg, slab, sids, metric, snorms)  # [Gc, QT, C]
         Gc = scores.shape[0]
         s, i = topk_from_scores(
             scores.reshape(Gc * qt, C),

@@ -140,6 +140,398 @@ def grouped_scan_pallas(codes, ids, q, pids, k: int, metric: str, qt: int = 64,
     return _merge_groups(g_scores, g_ids, pair_group, pair_slot, pids, k, kk)
 
 
+def _v3_kernel(metric: str, k: int):
+    """v3 slot-selection kernel body: ~3 VPU passes per top-k round vs ~6
+    for v2's id-disambiguating rounds.
+
+    Three changes vs v2 (list_scanning.h:241-366 is the reference hot loop):
+      * selection emits (score, slot) with max-slot tie-break — slots are
+        unique per lane so no id-disambiguation passes; slot -> vector id is
+        one small epilogue gather, and the ids array never enters the kernel.
+      * validity comes from the compact-prefix invariant (lane < size via
+        scalar-prefetched sizes) instead of an id compare.
+      * the l2 ||x||^2 term reads the store's cached norms (StoreState.norms)
+        instead of a full [C, D] in-kernel reduction, and the rank-invariant
+        per-query ||q||^2 shift moves to the epilogue.
+    """
+
+    def kernel(group_pid_ref, group_size_ref, qg_ref, slab_ref, norms_ref,
+               out_s_ref, out_i_ref):
+        g = pl.program_id(0)
+        size = group_size_ref[g]  # 0 when the group slot is unused
+        qg = qg_ref[0]  # [QT, D]
+        slab = slab_ref[0]  # [C, D]
+        prod = jax.lax.dot_general(
+            qg,
+            slab,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [QT, C]
+        if metric == "l2":
+            s_sq = norms_ref[0, 0]  # [C]
+            scores = 2.0 * prod - s_sq[None, :]
+        else:
+            scores = prod
+
+        QT, C = scores.shape
+        lane = jax.lax.broadcasted_iota(jnp.int32, (QT, C), 1)
+        scores = jnp.where(lane < size, scores, NEG_INF)
+        out_lane = jax.lax.broadcasted_iota(jnp.int32, (QT, k), 1)
+
+        def select_round(i, carry):
+            scores_c, outv, outi = carry
+            best = jnp.max(scores_c, axis=1, keepdims=True)  # [QT, 1]
+            best_slot = jnp.max(
+                jnp.where(scores_c == best, lane, -1), axis=1, keepdims=True
+            )
+            sel = out_lane == i
+            outv = jnp.where(sel, best, outv)
+            outi = jnp.where(
+                sel, jnp.where(best == NEG_INF, -1, best_slot), outi
+            )
+            return (
+                jnp.where(lane == best_slot, NEG_INF, scores_c),
+                outv,
+                outi,
+            )
+
+        init = (
+            scores,
+            jnp.full((QT, k), NEG_INF, jnp.float32),
+            jnp.full((QT, k), -1, jnp.int32),
+        )
+        _, outv, outi = lax.fori_loop(0, k, select_round, init)
+        out_s_ref[0] = outv
+        out_i_ref[0] = outi
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("k", "metric", "qt", "interpret"))
+def grouped_scan_pallas_v3(codes, ids, sizes, norms, q, pids, k: int,
+                           metric: str, qt: int = 32, interpret: bool = False):
+    """v3 grouped scan: slot selection + cached norms + size masking.
+
+    Additional inputs vs grouped_scan_pallas: sizes [P] int32 (compact-prefix
+    lengths) and norms [P, C] f32 (cached squared norms). Exact semantics
+    (ties among equal scores break by max slot instead of v2's max id).
+    Returns (scores [B, k], ids [B, k], partitions_scanned [B]).
+    """
+    B, D = q.shape
+    P, C, _ = codes.shape
+    kk = min(k, C)
+    group_pid, qlist, pair_group, pair_slot = build_groups(pids, P, qt)
+    G = group_pid.shape[0]
+    group_size = jnp.where(
+        group_pid >= 0, sizes[jnp.maximum(group_pid, 0)], 0
+    ).astype(jnp.int32)
+    safe_q = jnp.where(qlist >= 0, qlist, 0)
+    q_cast = q.astype(codes.dtype)
+    qg = q_cast[safe_q]  # [G, QT, D]
+
+    kernel = _v3_kernel(metric, kk)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(G,),
+        in_specs=[
+            pl.BlockSpec((1, qt, D), lambda g, gp, gs: (g, 0, 0)),
+            pl.BlockSpec((1, C, D), lambda g, gp, gs: (jnp.maximum(gp[g], 0), 0, 0)),
+            pl.BlockSpec((1, 1, C), lambda g, gp, gs: (jnp.maximum(gp[g], 0), 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, qt, kk), lambda g, gp, gs: (g, 0, 0)),
+            pl.BlockSpec((1, qt, kk), lambda g, gp, gs: (g, 0, 0)),
+        ],
+    )
+    out_shape = [
+        jax.ShapeDtypeStruct((G, qt, kk), jnp.float32),
+        jax.ShapeDtypeStruct((G, qt, kk), jnp.int32),
+    ]
+    g_scores, g_slots = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(group_pid, group_size, qg, codes, norms.reshape(P, 1, C))
+
+    # Epilogue: slot -> vector id (small gather), add the per-query ||q||^2
+    # shift back for l2 (-inf rows stay -inf).
+    if metric == "l2":
+        qf = q.astype(jnp.float32)
+        q_sq = jnp.sum(qf * qf, axis=1)  # [B]
+        g_scores = g_scores - q_sq[safe_q][:, :, None]
+    gpid_b = jnp.broadcast_to(
+        jnp.maximum(group_pid, 0)[:, None, None], g_slots.shape
+    )
+    g_ids = ids[gpid_b, jnp.maximum(g_slots, 0)]
+    g_ids = jnp.where(g_slots >= 0, g_ids, -1)
+    return _merge_groups(g_scores, g_ids, pair_group, pair_slot, pids, k, kk)
+
+
+def _v3p_kernel(metric: str, k: int, slot_mult: int, levels: int):
+    """v3p float-packed selection kernel body: 2 VPU passes per round.
+
+    Packs a per-row range-quantized score key with the lane (slot) index as
+    key * slot_mult + lane — all float arithmetic on exactly-representable
+    integers < 2^24, so the int-bitwise lowering that sank the int32 packed
+    variant never appears. Packed values are unique per lane: each round is
+    max -> write -> compare-clear. Score quantization (range/levels) only
+    affects near-tie selection at the k boundary; the wrapper rescores the
+    winners exactly, and per-row (rowmin, range) stats are emitted so the
+    epilogue can dequantize for the cross-group merge.
+    """
+
+    def kernel(group_pid_ref, group_size_ref, qg_ref, slab_ref, norms_ref,
+               out_ref, stats_ref):
+        g = pl.program_id(0)
+        out, stats = _v3p_group_body(
+            qg_ref[0], slab_ref[0], norms_ref[0, 0], group_size_ref[g],
+            metric, k, slot_mult, levels,
+        )
+        out_ref[0] = out
+        stats_ref[0] = stats
+
+    return kernel
+
+
+def _v3p_group_body(qg, slab, s_sq, size, metric: str, k: int,
+                    slot_mult: int, levels: int):
+    """One group's v3p work: matmul -> quantize-pack -> k packed rounds.
+    Returns (out [QT, k] packed f32, stats [QT, 2] = (rowmin, range))."""
+    prod = jax.lax.dot_general(
+        qg,
+        slab,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    scores = 2.0 * prod - s_sq[None, :] if metric == "l2" else prod
+
+    QT, C = scores.shape
+    lane = jax.lax.broadcasted_iota(jnp.int32, (QT, C), 1)
+    valid = lane < size
+    rowmax = jnp.max(jnp.where(valid, scores, NEG_INF), axis=1, keepdims=True)
+    rowmin = jnp.min(jnp.where(valid, scores, jnp.inf), axis=1, keepdims=True)
+    rng = jnp.maximum(rowmax - rowmin, 1e-20)  # all-invalid rows -> 1e-20
+    qk = jnp.floor((scores - rowmin) * (float(levels) / rng))
+    lane_f = lane.astype(jnp.float32)
+    packed = qk * float(slot_mult) + lane_f
+    packed = jnp.where(valid, packed, -1.0)
+
+    out_lane = jax.lax.broadcasted_iota(jnp.int32, (QT, k), 1)
+
+    def select_round(i, carry):
+        packed_c, out = carry
+        best = jnp.max(packed_c, axis=1, keepdims=True)
+        out = jnp.where(out_lane == i, best, out)
+        return jnp.where(packed_c == best, -1.0, packed_c), out
+
+    init = (packed, jnp.full((QT, k), -1.0, jnp.float32))
+    _, out = lax.fori_loop(0, k, select_round, init)
+    # [QT, 2] stats via lane select (Mosaic-safe; no concatenate).
+    stat_lane = jax.lax.broadcasted_iota(jnp.int32, (QT, 2), 1)
+    rm = jnp.where(jnp.isfinite(rowmin), rowmin, 0.0)
+    stats = jnp.where(stat_lane == 0, rm, rng)
+    return out, stats
+
+
+@functools.partial(jax.jit, static_argnames=("k", "metric", "qt", "interpret"))
+def grouped_scan_pallas_v3p(codes, ids, sizes, norms, q, pids, k: int,
+                            metric: str, qt: int = 32,
+                            interpret: bool = False):
+    """v3p float-packed grouped scan with exact final rescoring.
+
+    Same inputs/returns as grouped_scan_pallas_v3. Selection within a group
+    is quantized to range/levels resolution (levels = 2^24 / next_pow2(C));
+    the k winners per query are rescored exactly, so reported distances are
+    exact — only membership at quantization-tied boundaries can differ.
+    Requires P < 32768 and C <= 65536 (packed (pid, slot) refs).
+    """
+    B, D = q.shape
+    P, C, _ = codes.shape
+    if P >= 32768 or C > 65536:
+        raise ValueError("v3p packs (pid, slot) into int32: needs P < 32768, C <= 65536")
+    kk = min(k, C)
+    slot_mult = max(1 << (int(C - 1).bit_length()), 2)
+    levels = (1 << 24) // slot_mult - 2
+    group_pid, qlist, pair_group, pair_slot = build_groups(pids, P, qt)
+    G = group_pid.shape[0]
+    group_size = jnp.where(
+        group_pid >= 0, sizes[jnp.maximum(group_pid, 0)], 0
+    ).astype(jnp.int32)
+    safe_q = jnp.where(qlist >= 0, qlist, 0)
+    qg = q.astype(codes.dtype)[safe_q]
+
+    kernel = _v3p_kernel(metric, kk, slot_mult, levels)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(G,),
+        in_specs=[
+            pl.BlockSpec((1, qt, D), lambda g, gp, gs: (g, 0, 0)),
+            pl.BlockSpec((1, C, D), lambda g, gp, gs: (jnp.maximum(gp[g], 0), 0, 0)),
+            pl.BlockSpec((1, 1, C), lambda g, gp, gs: (jnp.maximum(gp[g], 0), 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, qt, kk), lambda g, gp, gs: (g, 0, 0)),
+            pl.BlockSpec((1, qt, 2), lambda g, gp, gs: (g, 0, 0)),
+        ],
+    )
+    out_shape = [
+        jax.ShapeDtypeStruct((G, qt, kk), jnp.float32),
+        jax.ShapeDtypeStruct((G, qt, 2), jnp.float32),
+    ]
+    g_packed, g_stats = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(group_pid, group_size, qg, codes, norms.reshape(P, 1, C))
+    return _v3p_epilogue(
+        g_packed, g_stats, group_pid, pair_group, pair_slot, pids, safe_q,
+        codes, ids, norms, q, k, kk, metric, slot_mult, levels,
+    )
+
+
+def _v3p_epilogue(g_packed, g_stats, group_pid, pair_group, pair_slot, pids,
+                  safe_q, codes, ids, norms, q, k: int, kk: int, metric: str,
+                  slot_mult: int, levels: int):
+    """Shared v3p/v3p2 epilogue: decode packed winners, dequantize for the
+    cross-group merge, exact-rescore the per-query top k."""
+    B = q.shape[0]
+    # Decode: slot + dequantized approximate score (per-row scale).
+    valid = g_packed >= 0.0
+    slots = jnp.mod(g_packed, float(slot_mult)).astype(jnp.int32)
+    keys = jnp.floor(g_packed / float(slot_mult))
+    rowmin = g_stats[:, :, 0:1]
+    rng = g_stats[:, :, 1:2]
+    approx = rowmin + keys * (rng / float(levels))
+    if metric == "l2":
+        qf = q.astype(jnp.float32)
+        q_sq = jnp.sum(qf * qf, axis=1)
+        approx = approx - q_sq[safe_q][:, :, None]
+    approx = jnp.where(valid, approx, NEG_INF)
+    gpid_b = jnp.broadcast_to(
+        jnp.maximum(group_pid, 0)[:, None, None], slots.shape
+    )
+    refs = jnp.where(valid, (gpid_b << 16) | slots, -1)
+
+    # Per-query merge by dequantized score, carrying (pid, slot) refs.
+    ok = pair_group >= 0
+    pg = jnp.where(ok, pair_group, 0)
+    m_scores = jnp.where(
+        ok[:, :, None], approx[pg, pair_slot], NEG_INF
+    ).reshape(B, -1)
+    m_refs = jnp.where(ok[:, :, None], refs[pg, pair_slot], -1).reshape(B, -1)
+    kfin = min(k, m_scores.shape[1])
+    _, idx = lax.top_k(m_scores, kfin)
+    top_refs = jnp.take_along_axis(m_refs, idx, axis=1)
+
+    # Exact rescore of the k winners (restores exact distances/order).
+    w_pid = jnp.maximum(top_refs >> 16, 0)
+    w_slot = top_refs & 0xFFFF
+    vecs = codes[w_pid, w_slot].astype(jnp.float32)  # [B, kfin, D]
+    qf = q.astype(jnp.float32)
+    prod = jnp.einsum("bkd,bd->bk", vecs, qf)
+    if metric == "l2":
+        exact = (
+            2.0 * prod
+            - jnp.sum(qf * qf, axis=1, keepdims=True)
+            - norms[w_pid, w_slot]
+        )
+    else:
+        exact = prod
+    top_ids = ids[w_pid, w_slot]
+    top_ids = jnp.where(top_refs >= 0, top_ids, -1)
+    exact = jnp.where(top_ids >= 0, exact, -jnp.inf)
+    scores, order = lax.top_k(exact, kfin)
+    out_ids = jnp.take_along_axis(top_ids, order, axis=1)
+    out_ids = jnp.where(jnp.isfinite(scores), out_ids, -1)
+    scores = jnp.where(out_ids >= 0, scores, -jnp.inf)
+    if kfin < k:
+        scores = jnp.pad(scores, ((0, 0), (0, k - kfin)), constant_values=NEG_INF)
+        out_ids = jnp.pad(out_ids, ((0, 0), (0, k - kfin)), constant_values=-1)
+    scanned = jnp.sum((pids >= 0).astype(jnp.int32), axis=1)
+    return scores, out_ids, scanned
+
+
+def _v3p2_kernel(metric: str, k: int, slot_mult: int, levels: int):
+    """v3p body over TWO groups per grid step: halves the grid-step count
+    (measured ~3.5us/group on v5e against a ~1us DMA floor — per-step
+    pipeline overhead is the dominant non-VPU cost). The two slabs arrive as
+    separate BlockSpec inputs over the same codes array, so Mosaic's
+    automatic pipeline still prefetches both — no manual DMA (the manual
+    double-buffer variant measured slower in round 1)."""
+
+    def kernel(group_pid_ref, group_size_ref, qg_ref, slab_a_ref, slab_b_ref,
+               norms_a_ref, norms_b_ref, out_ref, stats_ref):
+        g = pl.program_id(0)
+        for j, (slab_ref, norms_ref) in enumerate(
+            ((slab_a_ref, norms_a_ref), (slab_b_ref, norms_b_ref))
+        ):
+            out, stats = _v3p_group_body(
+                qg_ref[j], slab_ref[0], norms_ref[0, 0],
+                group_size_ref[2 * g + j], metric, k, slot_mult, levels,
+            )
+            out_ref[j] = out
+            stats_ref[j] = stats
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("k", "metric", "qt", "interpret"))
+def grouped_scan_pallas_v3p2(codes, ids, sizes, norms, q, pids, k: int,
+                             metric: str, qt: int = 32,
+                             interpret: bool = False):
+    """Two-groups-per-step variant of grouped_scan_pallas_v3p. Same
+    inputs/returns/semantics; only the grid pipelining differs."""
+    B, D = q.shape
+    P, C, _ = codes.shape
+    if P >= 32768 or C > 65536:
+        raise ValueError("v3p packs (pid, slot) into int32: needs P < 32768, C <= 65536")
+    kk = min(k, C)
+    slot_mult = max(1 << (int(C - 1).bit_length()), 2)
+    levels = (1 << 24) // slot_mult - 2
+    group_pid, qlist, pair_group, pair_slot = build_groups(pids, P, qt)
+    G = group_pid.shape[0]
+    G2 = -(-G // 2) * 2
+    gp = jnp.pad(group_pid, (0, G2 - G), constant_values=-1)
+    ql = jnp.pad(qlist, ((0, G2 - G), (0, 0)), constant_values=-1)
+    group_size = jnp.where(gp >= 0, sizes[jnp.maximum(gp, 0)], 0).astype(jnp.int32)
+    safe_q = jnp.where(ql >= 0, ql, 0)
+    qg = q.astype(codes.dtype)[safe_q]  # [G2, QT, D]
+
+    kernel = _v3p2_kernel(metric, kk, slot_mult, levels)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(G2 // 2,),
+        in_specs=[
+            pl.BlockSpec((2, qt, D), lambda g, gp_, gs: (g, 0, 0)),
+            pl.BlockSpec((1, C, D), lambda g, gp_, gs: (jnp.maximum(gp_[2 * g], 0), 0, 0)),
+            pl.BlockSpec((1, C, D), lambda g, gp_, gs: (jnp.maximum(gp_[2 * g + 1], 0), 0, 0)),
+            pl.BlockSpec((1, 1, C), lambda g, gp_, gs: (jnp.maximum(gp_[2 * g], 0), 0, 0)),
+            pl.BlockSpec((1, 1, C), lambda g, gp_, gs: (jnp.maximum(gp_[2 * g + 1], 0), 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((2, qt, kk), lambda g, gp_, gs: (g, 0, 0)),
+            pl.BlockSpec((2, qt, 2), lambda g, gp_, gs: (g, 0, 0)),
+        ],
+    )
+    out_shape = [
+        jax.ShapeDtypeStruct((G2, qt, kk), jnp.float32),
+        jax.ShapeDtypeStruct((G2, qt, 2), jnp.float32),
+    ]
+    norms3 = norms.reshape(P, 1, C)
+    g_packed, g_stats = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(gp, group_size, qg, codes, codes, norms3, norms3)
+    return _v3p_epilogue(
+        g_packed, g_stats, gp, pair_group, pair_slot, pids, safe_q,
+        codes, ids, norms, q, k, kk, metric, slot_mult, levels,
+    )
+
+
 def _scores_kernel(metric: str):
     """Variant kernel: write raw [QT, C] scores to HBM; selection happens
     outside with XLA's tiled reducer (approx_max_k). Trades one extra HBM

@@ -57,6 +57,7 @@ def shard_store_state(state, mesh: Mesh, strategy: str = "slot"):
             sizes=put(state.sizes, P(SHARD_AXIS)),
             centroids=put(state.centroids, P()),
             active=put(state.active, P()),
+            norms=put(state.norms, P(SHARD_AXIS)),
         )
     if state.codes.shape[1] % ndev != 0:
         raise ValueError(
@@ -68,6 +69,7 @@ def shard_store_state(state, mesh: Mesh, strategy: str = "slot"):
         sizes=put(state.sizes, P()),
         centroids=put(state.centroids, P()),
         active=put(state.active, P()),
+        norms=put(state.norms, P(None, SHARD_AXIS)),
     )
 
 

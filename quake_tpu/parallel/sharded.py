@@ -224,7 +224,7 @@ def sharded_kmeans_step(mesh, x_sharded, centroids, metric: str = "l2"):
     return fn(x_sharded, centroids)
 
 
-def sharded_fused_search(mesh, codes, ids, parent_codes, parent_ids, q,
+def sharded_fused_search(mesh, codes, ids, norms, parent_codes, parent_ids, q,
                          k: int, nprobe: int, metric: str,
                          qt: int = 64, group_chunk: int = 64):
     """End-to-end fixed-nprobe search over the mesh as one program:
@@ -238,14 +238,15 @@ def sharded_fused_search(mesh, codes, ids, parent_codes, parent_ids, q,
     from quake_tpu.ops.grouped import grouped_scan_xla
     from quake_tpu.ops.scan import scores_to_distances
 
-    def local(codes_l, ids_l, pcodes_l, pids_l, q_l):
+    def local(codes_l, ids_l, norms_l, pcodes_l, pids_l, q_l):
         Pp, Cp, D = pcodes_l.shape
         _, probe = flat_scan(
             q_l, pcodes_l.reshape(Pp * Cp, D), pids_l.reshape(Pp * Cp),
             nprobe, metric, approx=True,
         )
         s, i, scanned = grouped_scan_xla(
-            codes_l, ids_l, q_l, probe, k, metric, qt=qt, group_chunk=group_chunk
+            codes_l, ids_l, q_l, probe, k, metric, qt=qt,
+            group_chunk=group_chunk, norms=norms_l,
         )
         ms, mi = _merge_gathered(s, i, k, SHARD_AXIS)
         return ms, mi, scores_to_distances(ms, mi, metric), scanned, probe
@@ -253,8 +254,9 @@ def sharded_fused_search(mesh, codes, ids, parent_codes, parent_ids, q,
     fn = jax.shard_map(
         local,
         mesh=mesh,
-        in_specs=(P(None, SHARD_AXIS), P(None, SHARD_AXIS), P(), P(), P()),
+        in_specs=(P(None, SHARD_AXIS), P(None, SHARD_AXIS), P(None, SHARD_AXIS),
+                  P(), P(), P()),
         out_specs=(P(), P(), P(), P(), P()),
         check_vma=False,
     )
-    return fn(codes, ids, parent_codes, parent_ids, q)
+    return fn(codes, ids, norms, parent_codes, parent_ids, q)

@@ -104,6 +104,12 @@ class IndexBuildParams:
     # Calibrate the APS recall model's dimension against realized recall on
     # a small sample at build time (corpora >= 50k only).
     calibrate_aps: bool = True
+    # Profile the production grouped kernel over the (n, k) latency grid at
+    # build and feed the maintenance cost estimator (the reference profiles
+    # its real scan kernel at build, quake_index.cpp:81-82). Off by default:
+    # ~grid-size compiles; the profile is cached as CSV by save() and reused
+    # by load().
+    profile_maintenance_latency: bool = False
 
 
 @dataclass

@@ -68,6 +68,32 @@ def test_add_remove_roundtrip(small_data):
     assert idx.validate()
 
 
+def test_hot_partition_growth_isolated(small_data):
+    """Capacity isolation (reference grows per-partition,
+    index_partition.cpp:247-255): flooding ONE partition with inserts must
+    not increase the bytes scanned for untouched partitions — the slab
+    capacity C stays fixed and the hot partition splits instead."""
+    x, ids, q = small_data
+    idx = build_index(x, ids, nlist=32)
+    C0 = idx.store.C
+    nlist0 = idx.nlist()
+    # Flood one Voronoi cell: tight copies of an existing vector.
+    target = x[0]
+    rng = np.random.default_rng(3)
+    n_new = int(C0 * 2.5)  # enough to overflow the target partition twice
+    flood = target[None, :] + 0.001 * rng.standard_normal(
+        (n_new, x.shape[1])
+    ).astype(np.float32)
+    idx.add(flood, np.arange(100_000, 100_000 + n_new, dtype=np.int64))
+    assert idx.store.C == C0  # untouched partitions scan the same bytes
+    assert idx.nlist() > nlist0  # the hot cell split instead
+    assert idx.ntotal() == len(ids) + n_new
+    assert idx.validate()
+    # Quality preserved: the flooded region is still findable.
+    res = idx.search(flood[:8], SearchParams(k=1, nprobe=idx.nlist()))
+    assert (res.ids[:, 0] >= 100_000).all()
+
+
 def test_add_duplicate_ids_rejected(small_data):
     x, ids, _ = small_data
     idx = build_index(x[:100], ids[:100], nlist=4)

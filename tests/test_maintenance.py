@@ -83,6 +83,59 @@ def test_hit_tracker_interleaved_host_device_keeps_host_entries():
 # --------------------------- latency estimator -------------------------------
 
 
+def test_profile_grouped_latency_and_roundtrip(tmp_path):
+    """The production grouped kernel can be profiled over a small (n, k)
+    grid (quake_index.cpp:81-82 -> maintenance_cost_estimator.cpp:59-94) and
+    the CSV cache round-trips through index save/load."""
+    est = ListScanLatencyEstimator(d=16, n_values=[64, 512], k_values=[1, 8],
+                                   n_trials=2)
+    est.profile_grouped_latency(kernel="xla", n_queries=64)
+    grid = est.latency_grid
+    assert (grid > 0).all()
+    p = str(tmp_path / "prof.csv")
+    est.save(p)
+    est2 = ListScanLatencyEstimator.from_csv(p)
+    np.testing.assert_allclose(est2.latency_grid, grid, rtol=1e-5)  # %.6g CSV
+    assert est2.n_values == [64, 512] and est2.k_values == [1, 8]
+
+
+def test_profiled_grid_changes_maintenance_decisions():
+    """Split/delete deltas must follow the measured grid: a profile where
+    large partitions are disproportionately expensive makes splits
+    beneficial; a flat profile does not."""
+    flat = ListScanLatencyEstimator(d=16)
+    flat.latency_grid = np.full_like(flat.latency_grid, 1000.0)
+    steep = ListScanLatencyEstimator(d=16)
+    steep.latency_grid = np.array(
+        [[n * 100.0 + k for k in steep.k_values] for n in steep.n_values]
+    )
+    est_flat = MaintenanceCostEstimator(16, alpha=0.9, k=10, latency_estimator=flat)
+    est_steep = MaintenanceCostEstimator(16, alpha=0.9, k=10, latency_estimator=steep)
+    d_flat = est_flat.compute_split_delta(4096, hit_rate=1.0, total_partitions=64)
+    d_steep = est_steep.compute_split_delta(4096, hit_rate=1.0, total_partitions=64)
+    # Flat grid: splitting only adds overhead (2*alpha > 1). Steep grid:
+    # halving the partition saves ~(2*alpha - 1)*L(n)/... => negative delta.
+    assert d_flat > 0 > d_steep
+
+
+def test_build_flag_profiles_and_persists(tmp_path, small_data):
+    """profile_latency() wires the grid into the live policy and save/load
+    restores it."""
+    x, ids, _ = small_data
+    idx = QuakeIndex()
+    idx.build(x[:3000], ids[:3000], IndexBuildParams(nlist=8))
+    est = idx.profile_latency(n_values=[64, 256], k_values=[1, 8])
+    assert idx.maintenance_policy.cost_estimator.latency_estimator is est
+    d = str(tmp_path / "idx")
+    idx.save(d)
+    idx2 = QuakeIndex().load(d)
+    assert idx2.latency_profile is not None
+    np.testing.assert_allclose(
+        idx2.latency_profile.latency_grid, est.latency_grid, rtol=1e-5
+    )
+    assert idx2.maintenance_policy.cost_estimator.latency_estimator is idx2.latency_profile
+
+
 def test_latency_estimator_monotone_in_n():
     est = ListScanLatencyEstimator(d=64)
     l1 = est.estimate_scan_latency(100, 10)

@@ -70,6 +70,56 @@ def test_sized_kernel_interpret_matches_xla(metric):
         assert set(np.asarray(i1)[b].tolist()) == set(np.asarray(i2)[b].tolist())
 
 
+@pytest.mark.parametrize("variant_name", ["v3", "v3p", "v3p2"])
+@pytest.mark.parametrize("metric", ["l2", "ip"])
+def test_v3_kernels_interpret_match_xla(metric, variant_name):
+    """v3 (slot selection + cached norms + size masking), v3p (float-packed
+    selection + exact rescore), and v3p2 (two groups per grid step): parity
+    with the XLA backend, including poisoned pad slots that must never
+    surface."""
+    from quake_tpu.ops.pallas_grouped import (
+        grouped_scan_pallas_v3,
+        grouped_scan_pallas_v3p,
+        grouped_scan_pallas_v3p2,
+    )
+
+    variant = {
+        "v3": grouped_scan_pallas_v3,
+        "v3p": grouped_scan_pallas_v3p,
+        "v3p2": grouped_scan_pallas_v3p2,
+    }[variant_name]
+    rng = np.random.default_rng(2)
+    P, C, D, B, nprobe, k, qt = 8, 128, 16, 12, 3, 5, 8
+    codes = rng.standard_normal((P, C, D)).astype(np.float32)
+    ids = np.arange(P * C, dtype=np.int32).reshape(P, C)
+    sizes = np.zeros(P, np.int32)
+    for p in range(P):
+        sizes[p] = rng.integers(1, C + 1)
+        ids[p, sizes[p]:] = -1
+        codes[p, sizes[p]:] = 10.0  # poison: pads must never surface
+    norms = (codes.astype(np.float32) ** 2).sum(axis=2)
+    q = rng.standard_normal((B, D)).astype(np.float32)
+    pids = rng.integers(0, P, (B, nprobe)).astype(np.int32)
+    pids[0, 1:] = -1
+
+    clean = codes.copy()
+    for p in range(P):
+        clean[p, sizes[p]:] = 0.0
+    s1, i1, n1 = grouped_scan_xla(
+        jnp.asarray(clean), jnp.asarray(ids), jnp.asarray(q), jnp.asarray(pids),
+        k, metric, qt=qt, group_chunk=4,
+    )
+    s2, i2, n2 = variant(
+        jnp.asarray(codes), jnp.asarray(ids), jnp.asarray(sizes),
+        jnp.asarray(norms), jnp.asarray(q), jnp.asarray(pids),
+        k, metric, qt=qt, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), rtol=1e-4, atol=1e-4)
+    np.testing.assert_array_equal(np.asarray(n1), np.asarray(n2))
+    for b in range(B):
+        assert set(np.asarray(i1)[b].tolist()) == set(np.asarray(i2)[b].tolist())
+
+
 @pytest.mark.parametrize("metric", ["l2", "ip"])
 def test_packed_kernel_interpret_matches_xla(metric):
     """Packed-selection variant: parity incl. stale-pad masking and exact
