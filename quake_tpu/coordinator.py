@@ -213,11 +213,11 @@ def grouped_scan(codes, ids, sizes, norms, q, pids, k: int, metric: str,
     masking), "v3p" (float-packed selection + exact rescore; the fastest
     measured on v5e). All return (scores [B,k], ids [B,k], scanned [B]).
     """
-    if kernel == "v3p2":
-        from quake_tpu.ops.pallas_grouped import grouped_scan_pallas_v3p2
+    if kernel.startswith("v3p") and len(kernel) > 3:  # v3p2 / v3p4 / ...
+        from quake_tpu.ops.pallas_grouped import grouped_scan_pallas_v3pn
 
-        return grouped_scan_pallas_v3p2(codes, ids, sizes, norms, q, pids,
-                                        k, metric, qt=qt)
+        return grouped_scan_pallas_v3pn(codes, ids, sizes, norms, q, pids,
+                                        k, metric, qt=qt, gpb=int(kernel[3:]))
     if kernel == "v3p":
         from quake_tpu.ops.pallas_grouped import grouped_scan_pallas_v3p
 

@@ -63,6 +63,10 @@ class QuakeIndex:
         self.aps_dimension = 0  # effective dim for the APS recall model
         self.latency_profile = None  # profiled (n, k) grid, else analytic
         self._nprobe_bucket = 8  # pow2 padding for probe lists
+        # Mutation coalescing buffer (IndexBuildParams.mutation_buffer_size).
+        self._pending_x: list = []
+        self._pending_vids: list = []
+        self._pending_idset: set = set()
 
     # ------------------------------------------------------------------ build
 
@@ -200,6 +204,11 @@ class QuakeIndex:
         pids = p_ids32[:, :parent_k] if parent_k < p_ids32.shape[1] else p_ids32
 
         chosen = int(cands[-1])
+        # Calibrate with the PRODUCTION kernel and a small margin over the
+        # target: the sample queries are resident vectors (home-partition
+        # hits), which makes realized recall on out-of-store queries a bit
+        # lower than on the calibration sample.
+        margin = 0.02
         for d_cand in cands:
             table = beta_table(int(d_cand), "l2")
             scores, ids32, scanned = coordinator.aps_search(
@@ -207,9 +216,11 @@ class QuakeIndex:
                 jnp.float32(target), jnp.float32(0.0),
                 k=k, metric=self.metric, dimension=self.d(), chunk=4,
                 use_precomputed=True, table=table,
+                kernel=self._grouped_kernel(),
+                sizes=state.sizes, norms=state.norms,
             )
             achieved = compute_recall(np.asarray(ids32).astype(np.int64), gt, k)
-            if achieved >= target:
+            if achieved >= min(target + margin, 0.995):
                 chosen = int(d_cand)
                 break
         self.aps_dimension = chosen
@@ -233,24 +244,53 @@ class QuakeIndex:
     # ----------------------------------------------------------------- search
 
     def search(self, x, search_params: Optional[SearchParams] = None) -> SearchResult:
-        """Top-k search (quake_index.cpp:93-99, query_coordinator.cpp:612-657)."""
+        """Top-k search (quake_index.cpp:93-99, query_coordinator.cpp:612-657).
+
+        Timing phases (reference fills these throughout
+        query_coordinator.cpp:310-466; the worker-queue phases map onto the
+        single-device-program model):
+          buffer_init   = query validation + host->device transfer
+          job_enqueue   = program dispatch (the jitted call returning while
+                          the device still runs — the enqueue analog)
+          job_wait      = device execution + first device->host sync (the
+                          double-timed sync: dispatch and completion are
+                          stamped separately)
+          result_aggregate = remaining result materialization/conversion
+        """
+        from quake_tpu.profiling import annotate
+
         t0 = _now_ns()
         sp = search_params or SearchParams()
-        x = to_f32(x)
-        if x.ndim == 1:
-            x = x[None, :]
-        if x.shape[1] != self.d():
-            raise ValueError(
-                f"query dimension {x.shape[1]} != index dimension {self.d()}"
-            )
-        q = jnp.asarray(x)
+        with annotate("quake.buffer_init"):
+            self._flush_mutations()
+            x = to_f32(x)
+            if x.ndim == 1:
+                x = x[None, :]
+            if x.shape[1] != self.d():
+                raise ValueError(
+                    f"query dimension {x.shape[1]} != index dimension {self.d()}"
+                )
+            q = jnp.asarray(x)
+        t1 = _now_ns()
 
-        scores, ids32, timing, dists = self._search_device_full(q, sp)
-        ids_np = np.asarray(ids32).astype(np.int64)
-        if dists is None:
-            dists = scores_to_distances(scores, ids32, self.metric)
-        dists_np = np.asarray(dists)
-        timing.total_time_ns = _now_ns() - t0
+        with annotate("quake.dispatch"):
+            scores, ids32, timing, dists = self._search_device_full(q, sp)
+        t2 = _now_ns()
+        with annotate("quake.device_wait"):
+            jax.block_until_ready(ids32)
+            ids_np = np.asarray(ids32).astype(np.int64)  # first D2H: forces completion
+        t3 = _now_ns()
+        with annotate("quake.aggregate"):
+            if dists is None:
+                dists = scores_to_distances(scores, ids32, self.metric)
+            dists_np = np.asarray(dists)
+        t4 = _now_ns()
+
+        timing.buffer_init_time_ns = t1 - t0
+        timing.job_enqueue_time_ns = t2 - t1
+        timing.job_wait_time_ns = t3 - t2
+        timing.result_aggregate_time_ns = t4 - t3
+        timing.total_time_ns = t4 - t0
         return SearchResult(ids=ids_np, distances=dists_np, timing_info=timing)
 
     def _search_device_full(self, q, sp: SearchParams):
@@ -327,7 +367,7 @@ class QuakeIndex:
             return override
         try:
             if jax.default_backend() == "tpu":
-                return "v3p2"
+                return "v3p4"
         except Exception:
             pass
         return "xla"
@@ -384,8 +424,8 @@ class QuakeIndex:
         )
         t1 = _now_ns()
         p_scores, p_ids32, p_timing = self.parent._search_device(q, parent_sp)
+        p_timing.total_time_ns = _now_ns() - t1  # dispatch time; device async
         timing.parent_info = p_timing
-        timing.job_enqueue_time_ns = _now_ns() - t1
 
         # Trim padding back to the true candidate count.
         pids = p_ids32[:, :parent_k] if parent_k < p_ids32.shape[1] else p_ids32
@@ -393,12 +433,28 @@ class QuakeIndex:
         if use_aps:
             from quake_tpu.geometry import beta_table
 
+            t_b = _now_ns()
             table = (
                 beta_table(self.aps_dimension or self.d(), "l2")
                 if sp.use_precomputed
                 else None
             )
-            chunk = max(int(sp.aps_chunk_size), 1)
+            # Host-side share of the recall-model setup; the boundary
+            # distances themselves are fused into the device program
+            # (reference stamps this phase at query_coordinator.cpp:520-535).
+            timing.boundary_distance_time_ns = _now_ns() - t_b
+            chunk = int(sp.aps_chunk_size)
+            if chunk <= 0:  # auto (see SearchParams.aps_chunk_size)
+                if int(q.shape[0]) >= 1024:
+                    # Production batch: every while-loop step re-streams the
+                    # probed partitions (the unique-partition group term does
+                    # not shrink with the active mask) and re-pays the
+                    # build_groups prologue — two coarse steps (scan half,
+                    # then the adaptive tail) measured far cheaper than
+                    # fine-grained chunks at equal recall.
+                    chunk = max(8, -(-parent_k // 2))
+                else:
+                    chunk = 4
             qt, group_chunk = self._grouped_params(int(q.shape[0]), chunk)
             if self.mesh is not None:
                 from quake_tpu.parallel.sharded import sharded_aps_search
@@ -488,9 +544,19 @@ class QuakeIndex:
             if resident.any():
                 dup = ids[resident][:5].tolist()
                 raise ValueError(f"ids already in index (e.g. {dup})")
+            if self._pending_idset:
+                dup = [i for i in ids.tolist() if i in self._pending_idset]
+                if dup:
+                    raise ValueError(f"ids already in index (pending, e.g. {dup[:5]})")
 
     def add(self, x, ids) -> ModifyTimingInfo:
-        """Insert vectors (quake_index.cpp:122-130, partition_manager.cpp:123-262)."""
+        """Insert vectors (quake_index.cpp:122-130, partition_manager.cpp:123-262).
+
+        With IndexBuildParams.mutation_buffer_size > 0, small adds coalesce
+        into one device program per buffer-full (the per-dispatch round-trip
+        otherwise dominates on remote-attached TPUs); any read or other
+        mutation flushes first, so observable semantics are unchanged.
+        """
         timing = ModifyTimingInfo()
         t0 = _now_us()
         x = to_f32(x)
@@ -500,6 +566,17 @@ class QuakeIndex:
         timing.n_vectors = x.shape[0]
         self._validate_new_ids(ids)
         timing.input_validation_time_us = _now_us() - t0
+
+        buf = self.build_params.mutation_buffer_size if self.build_params else 0
+        if buf > 0 and self.parent is not None:
+            self._pending_x.append(x)
+            self._pending_vids.append(ids)
+            self._pending_idset.update(ids.tolist())
+            if sum(len(v) for v in self._pending_vids) >= buf:
+                t2 = _now_us()
+                self._flush_mutations()
+                timing.modify_time_us = _now_us() - t2
+            return timing
 
         t1 = _now_us()
         if self.parent is not None:
@@ -514,12 +591,26 @@ class QuakeIndex:
         timing.modify_time_us = _now_us() - t2
         return timing
 
+    def _flush_mutations(self):
+        """Insert all buffered vectors with one assignment + one append."""
+        if not self._pending_vids:
+            return
+        x = np.concatenate(self._pending_x)
+        ids = np.concatenate(self._pending_vids)
+        self._pending_x.clear()
+        self._pending_vids.clear()
+        self._pending_idset.clear()
+        rows = self._assign_rows(x)
+        rows = self._ensure_room_by_splitting(rows, x, ids)
+        self.store.append(rows, x, ids)
+
     def remove(self, ids) -> ModifyTimingInfo:
         """Remove by id (quake_index.cpp:132-140). Unlike the reference's
         O(ntotal) scan (dynamic_inverted_list.cpp:137-149), removal routes to
         only the affected partitions via the resident-id map."""
         timing = ModifyTimingInfo()
         t0 = _now_us()
+        self._flush_mutations()
         ids = to_i64(ids)
         timing.n_vectors = ids.shape[0]
         t1 = _now_us()
@@ -534,6 +625,7 @@ class QuakeIndex:
         refinement (partition_manager.cpp:478)."""
         timing = ModifyTimingInfo()
         t0 = _now_us()
+        self._flush_mutations()
         ids = to_i64(ids)
         x = to_f32(x)
         timing.n_vectors = ids.shape[0]
@@ -545,6 +637,7 @@ class QuakeIndex:
 
     def get(self, ids) -> np.ndarray:
         """Fetch vectors by id (quake_index.h get)."""
+        self._flush_mutations()
         vecs, found = self.store.get_vectors(to_i64(ids))
         if not found.all():
             missing = to_i64(ids)[~found][:5]
@@ -552,6 +645,7 @@ class QuakeIndex:
         return vecs
 
     def get_ids(self) -> np.ndarray:
+        self._flush_mutations()
         return self.store.get_ids()
 
     def split_partitions(self, rows) -> list:
@@ -667,6 +761,7 @@ class QuakeIndex:
         """Cost-based split/delete + local refinement (quake_index.cpp:157-163)."""
         if self.maintenance_policy is None:
             return MaintenanceTimingInfo()
+        self._flush_mutations()
         return self.maintenance_policy.perform_maintenance()
 
     # ------------------------------------------------------------ persistence
@@ -674,6 +769,7 @@ class QuakeIndex:
     def save(self, path: str):
         """Directory save: metadata.json + arrays + recursive parent/
         (quake_index.cpp:170-206)."""
+        self._flush_mutations()
         os.makedirs(path, exist_ok=True)
         state = self.store.state
         meta = {
@@ -778,7 +874,8 @@ class QuakeIndex:
     # ------------------------------------------------------------- inspection
 
     def ntotal(self) -> int:
-        return self.store.ntotal() if self.store else 0
+        n = self.store.ntotal() if self.store else 0
+        return n + sum(len(v) for v in self._pending_vids)
 
     def parent_ntotal(self) -> int:
         return self.parent.ntotal() if self.parent else 0
@@ -798,6 +895,7 @@ class QuakeIndex:
 
     def validate(self) -> bool:
         """Consistency check (quake_index.h validate)."""
+        self._flush_mutations()
         sizes = np.asarray(self.store.state.sizes)
         ids = np.asarray(self.store.state.ids)
         total = 0

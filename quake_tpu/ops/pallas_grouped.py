@@ -453,23 +453,25 @@ def _v3p_epilogue(g_packed, g_stats, group_pid, pair_group, pair_slot, pids,
     return scores, out_ids, scanned
 
 
-def _v3p2_kernel(metric: str, k: int, slot_mult: int, levels: int):
-    """v3p body over TWO groups per grid step: halves the grid-step count
-    (measured ~3.5us/group on v5e against a ~1us DMA floor — per-step
-    pipeline overhead is the dominant non-VPU cost). The two slabs arrive as
-    separate BlockSpec inputs over the same codes array, so Mosaic's
-    automatic pipeline still prefetches both — no manual DMA (the manual
-    double-buffer variant measured slower in round 1)."""
+def _v3pn_kernel(metric: str, k: int, slot_mult: int, levels: int, gpb: int):
+    """v3p body over GPB groups per grid step: divides the grid-step count
+    (measured ~4us/step fixed cost on v5e against a ~1us DMA floor —
+    per-step pipeline overhead, not bandwidth, is the dominant non-VPU
+    cost). Each group's slab arrives as its own BlockSpec input over the
+    same codes array, so Mosaic's automatic pipeline still prefetches all of
+    them — no manual DMA (the manual double-buffer variant measured slower
+    in round 1)."""
 
-    def kernel(group_pid_ref, group_size_ref, qg_ref, slab_a_ref, slab_b_ref,
-               norms_a_ref, norms_b_ref, out_ref, stats_ref):
+    def kernel(group_pid_ref, group_size_ref, qg_ref, *refs):
+        slab_refs = refs[:gpb]
+        norms_refs = refs[gpb:2 * gpb]
+        out_ref = refs[2 * gpb]
+        stats_ref = refs[2 * gpb + 1]
         g = pl.program_id(0)
-        for j, (slab_ref, norms_ref) in enumerate(
-            ((slab_a_ref, norms_a_ref), (slab_b_ref, norms_b_ref))
-        ):
+        for j in range(gpb):
             out, stats = _v3p_group_body(
-                qg_ref[j], slab_ref[0], norms_ref[0, 0],
-                group_size_ref[2 * g + j], metric, k, slot_mult, levels,
+                qg_ref[j], slab_refs[j][0], norms_refs[j][0, 0],
+                group_size_ref[gpb * g + j], metric, k, slot_mult, levels,
             )
             out_ref[j] = out
             stats_ref[j] = stats
@@ -477,12 +479,16 @@ def _v3p2_kernel(metric: str, k: int, slot_mult: int, levels: int):
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("k", "metric", "qt", "interpret"))
-def grouped_scan_pallas_v3p2(codes, ids, sizes, norms, q, pids, k: int,
-                             metric: str, qt: int = 32,
+@functools.partial(
+    jax.jit, static_argnames=("k", "metric", "qt", "gpb", "interpret")
+)
+def grouped_scan_pallas_v3pn(codes, ids, sizes, norms, q, pids, k: int,
+                             metric: str, qt: int = 32, gpb: int = 2,
                              interpret: bool = False):
-    """Two-groups-per-step variant of grouped_scan_pallas_v3p. Same
-    inputs/returns/semantics; only the grid pipelining differs."""
+    """Multi-group-per-step variant of grouped_scan_pallas_v3p. Same
+    inputs/returns/semantics; only the grid pipelining differs. gpb slabs are
+    double-buffered in VMEM (~16 MB/core budget: gpb=4 at C=1536, D=128 f32
+    uses ~6.3 MB of slab + working set)."""
     B, D = q.shape
     P, C, _ = codes.shape
     if P >= 32768 or C > 65536:
@@ -492,32 +498,40 @@ def grouped_scan_pallas_v3p2(codes, ids, sizes, norms, q, pids, k: int,
     levels = (1 << 24) // slot_mult - 2
     group_pid, qlist, pair_group, pair_slot = build_groups(pids, P, qt)
     G = group_pid.shape[0]
-    G2 = -(-G // 2) * 2
-    gp = jnp.pad(group_pid, (0, G2 - G), constant_values=-1)
-    ql = jnp.pad(qlist, ((0, G2 - G), (0, 0)), constant_values=-1)
+    Gn = -(-G // gpb) * gpb
+    gp = jnp.pad(group_pid, (0, Gn - G), constant_values=-1)
+    ql = jnp.pad(qlist, ((0, Gn - G), (0, 0)), constant_values=-1)
     group_size = jnp.where(gp >= 0, sizes[jnp.maximum(gp, 0)], 0).astype(jnp.int32)
     safe_q = jnp.where(ql >= 0, ql, 0)
-    qg = q.astype(codes.dtype)[safe_q]  # [G2, QT, D]
+    qg = q.astype(codes.dtype)[safe_q]  # [Gn, QT, D]
 
-    kernel = _v3p2_kernel(metric, kk, slot_mult, levels)
+    def slab_spec(j):
+        return pl.BlockSpec(
+            (1, C, D), lambda g, gp_, gs: (jnp.maximum(gp_[gpb * g + j], 0), 0, 0)
+        )
+
+    def norms_spec(j):
+        return pl.BlockSpec(
+            (1, 1, C), lambda g, gp_, gs: (jnp.maximum(gp_[gpb * g + j], 0), 0, 0)
+        )
+
+    kernel = _v3pn_kernel(metric, kk, slot_mult, levels, gpb)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(G2 // 2,),
-        in_specs=[
-            pl.BlockSpec((2, qt, D), lambda g, gp_, gs: (g, 0, 0)),
-            pl.BlockSpec((1, C, D), lambda g, gp_, gs: (jnp.maximum(gp_[2 * g], 0), 0, 0)),
-            pl.BlockSpec((1, C, D), lambda g, gp_, gs: (jnp.maximum(gp_[2 * g + 1], 0), 0, 0)),
-            pl.BlockSpec((1, 1, C), lambda g, gp_, gs: (jnp.maximum(gp_[2 * g], 0), 0, 0)),
-            pl.BlockSpec((1, 1, C), lambda g, gp_, gs: (jnp.maximum(gp_[2 * g + 1], 0), 0, 0)),
-        ],
+        grid=(Gn // gpb,),
+        in_specs=(
+            [pl.BlockSpec((gpb, qt, D), lambda g, gp_, gs: (g, 0, 0))]
+            + [slab_spec(j) for j in range(gpb)]
+            + [norms_spec(j) for j in range(gpb)]
+        ),
         out_specs=[
-            pl.BlockSpec((2, qt, kk), lambda g, gp_, gs: (g, 0, 0)),
-            pl.BlockSpec((2, qt, 2), lambda g, gp_, gs: (g, 0, 0)),
+            pl.BlockSpec((gpb, qt, kk), lambda g, gp_, gs: (g, 0, 0)),
+            pl.BlockSpec((gpb, qt, 2), lambda g, gp_, gs: (g, 0, 0)),
         ],
     )
     out_shape = [
-        jax.ShapeDtypeStruct((G2, qt, kk), jnp.float32),
-        jax.ShapeDtypeStruct((G2, qt, 2), jnp.float32),
+        jax.ShapeDtypeStruct((Gn, qt, kk), jnp.float32),
+        jax.ShapeDtypeStruct((Gn, qt, 2), jnp.float32),
     ]
     norms3 = norms.reshape(P, 1, C)
     g_packed, g_stats = pl.pallas_call(
@@ -525,11 +539,19 @@ def grouped_scan_pallas_v3p2(codes, ids, sizes, norms, q, pids, k: int,
         grid_spec=grid_spec,
         out_shape=out_shape,
         interpret=interpret,
-    )(gp, group_size, qg, codes, codes, norms3, norms3)
+    )(gp, group_size, qg, *([codes] * gpb), *([norms3] * gpb))
     return _v3p_epilogue(
         g_packed, g_stats, gp, pair_group, pair_slot, pids, safe_q,
         codes, ids, norms, q, k, kk, metric, slot_mult, levels,
     )
+
+
+def grouped_scan_pallas_v3p2(codes, ids, sizes, norms, q, pids, k: int,
+                             metric: str, qt: int = 32,
+                             interpret: bool = False):
+    """Two-groups-per-step v3p (see grouped_scan_pallas_v3pn)."""
+    return grouped_scan_pallas_v3pn(codes, ids, sizes, norms, q, pids, k,
+                                    metric, qt=qt, gpb=2, interpret=interpret)
 
 
 def _scores_kernel(metric: str):

@@ -110,6 +110,13 @@ class IndexBuildParams:
     # ~grid-size compiles; the profile is cached as CSV by save() and reused
     # by load().
     profile_maintenance_latency: bool = False
+    # Coalesce add() calls into device programs of up to this many vectors
+    # (0 = synchronous, reference semantics). Buffered vectors are flushed
+    # before any read/mutation that observes them, so results are identical;
+    # only the device-dispatch cadence changes. Amortizes the per-dispatch
+    # round-trip on remote-attached TPUs (partition_manager.cpp:123-262
+    # batches adds for the same reason).
+    mutation_buffer_size: int = 0
 
 
 @dataclass
@@ -135,7 +142,11 @@ class SearchParams:
     aps_flush_period_us: int = DEFAULT_APS_FLUSH_PERIOD_US
 
     # --- TPU extensions ---
-    aps_chunk_size: int = 4
+    # 0 = auto: 4 ranked partitions per APS while-loop step in latency mode
+    # (fine-grained early exit), 8 at production batch (>= 1024 queries) —
+    # each step re-pays the probed-partition group cost, so coarser chunks
+    # win once the batch is large enough that most partitions are probed.
+    aps_chunk_size: int = 0
 
     def copy(self) -> "SearchParams":
         return dataclasses.replace(self)

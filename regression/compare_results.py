@@ -73,13 +73,51 @@ def compare(baseline_csv: str, current_csv: str,
     return failures
 
 
+def render_plot(baseline_csv: str, current_csv: str, out_path: str):
+    """Comparison dashboard (reference compare_results.py:78-146): grouped
+    bars of baseline vs current per method for the four summary metrics."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    base = summarize(baseline_csv)
+    curr = summarize(current_csv)
+    methods = sorted(set(base) | set(curr))
+    metrics = [
+        ("mean_query_latency_ms", "query latency (ms)"),
+        ("mean_recall", "recall"),
+        ("mean_insert_latency_ms", "insert latency (ms)"),
+        ("mean_delete_latency_ms", "delete latency (ms)"),
+    ]
+    fig, axes = plt.subplots(2, 2, figsize=(11, 7))
+    xs = range(len(methods))
+    for ax, (key, title) in zip(axes.ravel(), metrics):
+        bvals = [(base.get(m) or {}).get(key) or 0.0 for m in methods]
+        cvals = [(curr.get(m) or {}).get(key) or 0.0 for m in methods]
+        ax.bar([x - 0.2 for x in xs], bvals, width=0.4, label="baseline")
+        ax.bar([x + 0.2 for x in xs], cvals, width=0.4, label="current")
+        ax.set_xticks(list(xs))
+        ax.set_xticklabels(methods, rotation=20, ha="right", fontsize=8)
+        ax.set_title(title, fontsize=10)
+        ax.legend(fontsize=8)
+    fig.suptitle("regression comparison")
+    fig.tight_layout()
+    fig.savefig(out_path, dpi=110)
+    plt.close(fig)
+    print(f"wrote {out_path}")
+
+
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--baseline", required=True)
     ap.add_argument("--current", required=True)
     ap.add_argument("--latency-threshold", type=float, default=LATENCY_THRESHOLD)
     ap.add_argument("--recall-threshold", type=float, default=RECALL_THRESHOLD)
+    ap.add_argument("--plot", help="write a baseline-vs-current dashboard PNG")
     args = ap.parse_args()
+    if args.plot:
+        render_plot(args.baseline, args.current, args.plot)
     failures = compare(
         args.baseline, args.current, args.latency_threshold, args.recall_threshold
     )

@@ -94,6 +94,30 @@ def test_hot_partition_growth_isolated(small_data):
     assert (res.ids[:, 0] >= 100_000).all()
 
 
+def test_mutation_buffer_semantics(small_data):
+    """Buffered adds (mutation_buffer_size > 0) are invisible semantically:
+    ntotal counts them, duplicate validation sees them, and any read flushes
+    them first — results match the synchronous path exactly."""
+    from quake_tpu import IndexBuildParams, QuakeIndex
+
+    x, ids, q = small_data
+    bp = IndexBuildParams(nlist=16, mutation_buffer_size=2048)
+    idx = QuakeIndex()
+    idx.build(x[:5000], ids[:5000], bp)
+    for i in range(5000, 6000, 100):  # 10 small adds, all buffered
+        idx.add(x[i:i + 100], ids[i:i + 100])
+    assert idx.ntotal() == 6000  # pending counted
+    with pytest.raises(ValueError):
+        idx.add(x[5000:5001], ids[5000:5001])  # duplicate in pending
+    res = idx.search(q, SearchParams(k=10, nprobe=16))  # flushes
+    assert len(idx._pending_vids) == 0
+    gt_ids, _ = knn(q, x[:6000], 10, "l2")
+    assert compute_recall(res.ids, gt_ids, 10) >= 0.99
+    idx.remove(ids[:100])
+    assert idx.ntotal() == 5900
+    assert idx.validate()
+
+
 def test_add_duplicate_ids_rejected(small_data):
     x, ids, _ = small_data
     idx = build_index(x[:100], ids[:100], nlist=4)
@@ -151,6 +175,29 @@ def test_timing_info_populated(small_data):
     assert ti.partitions_scanned == 8
     assert ti.total_time_ns > 0
     assert ti.parent_info is not None
+    # Phase breakdown populated (double-timed sync: dispatch vs execute;
+    # reference fills these at query_coordinator.cpp:310-466).
+    assert ti.buffer_init_time_ns > 0
+    assert ti.job_enqueue_time_ns > 0
+    assert ti.job_wait_time_ns > 0
+    assert ti.result_aggregate_time_ns > 0
+    from quake_tpu.profiling import flatten_timing
+
+    flat = flatten_timing(ti)
+    assert flat["job_wait_time_ns"] > 0 and flat["total_time_ns"] > 0
+
+
+def test_timing_phases_aps(small_data):
+    """APS searches also report the boundary/recall-model setup phase."""
+    x, ids, q = small_data
+    idx = build_index(x, ids, nlist=32)
+    res = idx.search(
+        q, SearchParams(k=10, recall_target=0.9, initial_search_fraction=0.5)
+    )
+    ti = res.timing_info
+    assert ti.job_wait_time_ns > 0
+    assert ti.boundary_distance_time_ns >= 0
+    assert ti.partitions_scanned > 0
 
 
 def test_single_query_1d_input(small_data):

@@ -137,3 +137,30 @@ def test_evaluator_non_batched_path(tmp_path):
     )
     recalls = [r["recall"] for r in results if r["operation_type"] == "query"]
     assert recalls and all(r >= 0.99 for r in recalls)
+
+
+def test_debug_mode_traps_nans():
+    """Sanitizer-analog (reference: opt-in TSAN/ASAN, CMakeLists.txt:186-196):
+    debug mode fails loudly when a NaN is produced instead of silently
+    poisoning results; the production search path stays clean under it."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import pytest
+
+    from quake_tpu import IndexBuildParams, QuakeIndex, SearchParams
+    from quake_tpu.debug import disable_debug_mode, enable_debug_mode
+
+    enable_debug_mode()
+    try:
+        rng = np.random.default_rng(0)
+        x = rng.standard_normal((2000, 16)).astype(np.float32)
+        idx = QuakeIndex()
+        idx.build(x, np.arange(2000, dtype=np.int64), IndexBuildParams(nlist=8))
+        res = idx.search(x[:8], SearchParams(k=5, nprobe=8))
+        assert (res.ids[:, 0] == np.arange(8)).all()  # clean under debug mode
+
+        with pytest.raises(Exception):  # NaN producer trips the check
+            jax.block_until_ready(jax.jit(lambda a: a / a)(jnp.zeros(4)))
+    finally:
+        disable_debug_mode()

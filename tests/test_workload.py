@@ -128,3 +128,29 @@ def test_regression_compare_gates(tmp_path):
     assert compare(str(base), str(ok)) == []
     assert any("latency" in f for f in compare(str(base), str(bad_lat)))
     assert any("recall" in f for f in compare(str(base), str(bad_rec)))
+
+
+def test_faiss_ivf_wrapper_smoke():
+    """Exercise the FaissIVF baseline wrapper end-to-end (build/search/add/
+    remove + one evaluator-style recall check). Skips where faiss-cpu is not
+    installed (it is in the CPU CI image; reference wrappers are CI-tested
+    the same way)."""
+    pytest.importorskip("faiss")
+    from quake_tpu.utils import compute_recall, knn
+    from quake_tpu.wrappers.faiss_ivf import FaissIVF
+
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((5000, 16)).astype(np.float32)
+    ids = np.arange(5000, dtype=np.int64)
+    q = rng.standard_normal((50, 16)).astype(np.float32)
+    w = FaissIVF()
+    w.build(x, nc=16, metric="l2", ids=ids)
+    assert w.n_total() == 5000
+    res = w.search(q, k=10, nprobe=16)
+    gt_ids, _ = knn(q, x, 10, "l2")
+    assert compute_recall(res.ids, gt_ids, 10) >= 0.95
+    w.add(x[:0], np.array([], dtype=np.int64))  # empty add is a no-op
+    new = rng.standard_normal((100, 16)).astype(np.float32)
+    w.add(new, np.arange(10_000, 10_100, dtype=np.int64))
+    w.remove(ids[:100])
+    assert w.n_total() == 5000
