@@ -94,7 +94,7 @@ def main():
           f"{4096 / t8 * 1e3 / 1e6:.2f}M qps (if slot sharding scales; "
           f"parent/prologue replicated)")
 
-    with open("shard_work_division.json", "w") as f:
+    with open("experiments/shard_work_division.json", "w") as f:
         json.dump({"per_device": results, "merge_bytes": merge_bytes}, f, indent=2)
     print("wrote shard_work_division.json")
 

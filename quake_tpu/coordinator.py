@@ -24,12 +24,18 @@ from quake_tpu import geometry
 from quake_tpu.ops.scan import NEG_INF, flat_scan, ivf_scan, merge_topk
 
 
-@functools.partial(jax.jit, static_argnames=("k", "metric", "chunk_size"))
-def flat_search(codes, ids, q, k: int, metric: str, chunk_size: int = 16384):
+@functools.partial(jax.jit, static_argnames=("k", "metric", "chunk_size", "approx"))
+def flat_search(codes, ids, q, k: int, metric: str, chunk_size: int = 16384,
+                approx: bool = False):
     """Scan every slot of the store (flat index / parent centroid index;
-    query_coordinator.cpp:624-626). codes [P, C, D], ids [P, C]."""
+    query_coordinator.cpp:624-626). codes [P, C, D], ids [P, C].
+
+    approx=True switches selection to the tiled reducer — for PARENT
+    candidate ranking, where lax.top_k's full row sort would dominate the
+    whole query (user-facing flat search stays exact)."""
     P, C, D = codes.shape
-    return flat_scan(q, codes.reshape(P * C, D), ids.reshape(P * C), k, metric, chunk_size)
+    return flat_scan(q, codes.reshape(P * C, D), ids.reshape(P * C), k, metric,
+                     chunk_size, approx=approx)
 
 
 @functools.partial(jax.jit, static_argnames=("k", "metric"))

@@ -291,6 +291,11 @@ class QuakeIndex:
         timing.job_wait_time_ns = t3 - t2
         timing.result_aggregate_time_ns = t4 - t3
         timing.total_time_ns = t4 - t0
+        scanned_dev = getattr(timing, "_scanned_dev", None)
+        if scanned_dev is not None:  # APS: resolved after the sync above
+            sc = np.asarray(scanned_dev)
+            timing.partitions_scanned = int(sc.mean()) if sc.size else 0
+            timing._scanned_dev = None
         return SearchResult(ids=ids_np, distances=dists_np, timing_info=timing)
 
     def _search_device_full(self, q, sp: SearchParams):
@@ -381,8 +386,13 @@ class QuakeIndex:
         group_chunk = max(8, min(128, (1 << 27) // max(slab_bytes, 1)))
         return qt, group_chunk
 
-    def _search_device(self, q, sp: SearchParams):
-        """Device-resident search; returns (scores, int32 ids, timing)."""
+    def _search_device(self, q, sp: SearchParams, approx_flat: bool = False):
+        """Device-resident search; returns (scores, int32 ids, timing).
+
+        approx_flat: use the tiled approx reducer for flat selection — set
+        by callers ranking CANDIDATES (parent centroid searches), where
+        lax.top_k's full row sort dominates; user-facing flat searches stay
+        exact (recall 1.0)."""
         timing = SearchTimingInfo(
             n_queries=int(q.shape[0]), n_clusters=self.nlist(), search_params=sp
         )
@@ -398,7 +408,8 @@ class QuakeIndex:
                 )
             else:
                 scores, ids32 = coordinator.flat_search(
-                    state.codes, state.ids, q, k, self.metric
+                    state.codes, state.ids, q, k, self.metric,
+                    approx=approx_flat,
                 )
             timing.partitions_scanned = self.nlist()
             return scores, ids32, timing
@@ -406,7 +417,15 @@ class QuakeIndex:
         # Parent search for candidate partitions (query_coordinator.cpp:628-646).
         use_aps = sp.recall_target > 0.0
         if use_aps:
-            parent_k = max(int(self.nlist() * sp.initial_search_fraction), 1)
+            # Floor: the candidate set must be able to hold ~2k results —
+            # initial_search_fraction alone under-provisions when k is
+            # large relative to partition sizes (e.g. a mid-level parent
+            # ranking k=32 candidates over 8-centroid partitions).
+            avg_sz = max(self.ntotal() / max(self.nlist(), 1), 1.0)
+            min_parts = min(int(np.ceil(2.0 * k / avg_sz)), self.nlist())
+            parent_k = max(
+                int(self.nlist() * sp.initial_search_fraction), min_parts, 1
+            )
         else:
             parent_k = min(int(sp.nprobe), self.nlist())
         parent_k_padded = min(next_pow2(parent_k, self._nprobe_bucket), self.parent_ntotal())
@@ -414,16 +433,27 @@ class QuakeIndex:
         # (query_coordinator.cpp:628-634) so a multi-level parent does not
         # fall back to default nprobe=1; for non-APS multi-level parents the
         # caller's nprobe is the sane mid-level probe count.
+        # Candidate-ranking errors compound multiplicatively down the levels,
+        # so a mid-level parent searches at a boosted recall target
+        # (sqrt keeps leaf_target ~= mid * leaf).
+        parent_target = (
+            min(0.99, float(sp.recall_target) ** 0.5)
+            if sp.recall_target > 0
+            else sp.recall_target
+        )
         parent_sp = SearchParams(
             k=parent_k_padded,
             batched_scan=True,
             nprobe=sp.nprobe,
-            recall_target=sp.recall_target,
+            recall_target=parent_target,
             use_precomputed=sp.use_precomputed,
             recompute_threshold=sp.recompute_threshold,
+            initial_search_fraction=sp.initial_search_fraction,
         )
         t1 = _now_ns()
-        p_scores, p_ids32, p_timing = self.parent._search_device(q, parent_sp)
+        p_scores, p_ids32, p_timing = self.parent._search_device(
+            q, parent_sp, approx_flat=True
+        )
         p_timing.total_time_ns = _now_ns() - t1  # dispatch time; device async
         timing.parent_info = p_timing
 
@@ -489,7 +519,11 @@ class QuakeIndex:
                     sizes=state.sizes,
                     norms=state.norms,
                 )
-            timing.partitions_scanned = int(np.asarray(scanned).mean()) if scanned.size else 0
+            # Keep `scanned` on device: materializing the mean here would
+            # force a full sync per dispatch and serialize the batch
+            # pipeline (search() fills partitions_scanned after its
+            # device-wait phase; _search_device_full callers stay async).
+            timing._scanned_dev = scanned
             self._record_hits(pids, scanned)
         elif self.mesh is not None:
             from quake_tpu.parallel.sharded import sharded_ivf_search

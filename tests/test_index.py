@@ -94,6 +94,30 @@ def test_hot_partition_growth_isolated(small_data):
     assert (res.ids[:, 0] >= 100_000).all()
 
 
+def test_multi_level_index(small_data):
+    """3-level index (parent itself an IVF via parent_params): search params
+    must propagate into the mid-level parent search
+    (query_coordinator.cpp:628-634; round-1 advisor finding) so candidate
+    ranking does not degrade to nprobe=1."""
+    from quake_tpu import IndexBuildParams, QuakeIndex
+
+    x, ids, q = small_data
+    bp = IndexBuildParams(nlist=64, parent_params=IndexBuildParams(nlist=8))
+    idx = QuakeIndex()
+    idx.build(x, ids, bp)
+    assert idx.parent is not None and idx.parent.parent is not None
+    # Fixed-nprobe: mid-level uses the caller's nprobe.
+    res = idx.search(q, SearchParams(k=10, nprobe=32))
+    gt_ids, _ = knn(q, x, 10, "l2")
+    assert compute_recall(res.ids, gt_ids, 10) >= 0.9
+    # APS propagates recall_target through the mid level too.
+    res_aps = idx.search(
+        q, SearchParams(k=10, recall_target=0.9, initial_search_fraction=0.5)
+    )
+    assert compute_recall(res_aps.ids, gt_ids, 10) >= 0.85
+    assert idx.validate()
+
+
 def test_mutation_buffer_semantics(small_data):
     """Buffered adds (mutation_buffer_size > 0) are invisible semantically:
     ntotal counts them, duplicate validation sees them, and any read flushes
