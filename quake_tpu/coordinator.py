@@ -216,9 +216,29 @@ def grouped_scan(codes, ids, sizes, norms, q, pids, k: int, metric: str,
 
     kernel: "xla" (chunked lax.map — any platform), "v2" (whole-slab Pallas,
     id-tie-break selection), "v3" (slot selection + cached norms + size
-    masking), "v3p" (float-packed selection + exact rescore; the fastest
-    measured on v5e). All return (scores [B,k], ids [B,k], scanned [B]).
+    masking), "v3p" (float-packed selection + exact rescore), "v4" (size-
+    aware chunked v3p + ghost-skip; the fastest measured on v5e; optional
+    "v4cCT[gGPB]" spelling pins the chunk/groups-per-step, e.g. "v4c512g8").
+    All return (scores [B,k], ids [B,k], scanned [B]).
     """
+    if kernel.startswith("v4"):
+        from quake_tpu.ops.pallas_grouped import grouped_scan_pallas_v4
+
+        C = codes.shape[1]
+        ct, gpb = 0, 8
+        if len(kernel) > 2:  # v4cCT or v4cCTgGPB
+            spec = kernel[3:]
+            if "g" in spec:
+                cts, gs = spec.split("g")
+                ct, gpb = int(cts), int(gs)
+            else:
+                ct = int(spec)
+        if not ct or C % ct:
+            # Largest preferred chunk that divides the store's bucketed C;
+            # fall back to whole-slab (ct=C) when nothing divides.
+            ct = next((c for c in (512, 384, 256, 128) if C % c == 0), C)
+        return grouped_scan_pallas_v4(codes, ids, sizes, norms, q, pids,
+                                      k, metric, qt=qt, ct=ct, gpb=gpb)
     if kernel.startswith("v3p") and len(kernel) > 3:  # v3p2 / v3p4 / ...
         from quake_tpu.ops.pallas_grouped import grouped_scan_pallas_v3pn
 

@@ -45,6 +45,23 @@ def _now_us() -> int:
     return int(time.perf_counter() * 1e6)
 
 
+def _drop_self(ids: np.ndarray, self_ids: np.ndarray, k: int) -> np.ndarray:
+    """Remove each row's own id from a [nq, k+1] neighbor list, keeping k.
+
+    Used by calibrate_aps: its sample queries are resident vectors whose
+    rank-0 neighbor is themselves — a free home-partition hit that would
+    inflate calibration recall by ~1/k."""
+    nq = ids.shape[0]
+    out = np.empty((nq, k), dtype=ids.dtype)
+    for i in range(nq):
+        row = ids[i]
+        keep = row[row != self_ids[i]]
+        if keep.shape[0] < k:  # self id absent: drop the tail instead
+            keep = row[:k]
+        out[i] = keep[:k]
+    return out
+
+
 def _now_ns() -> int:
     return int(time.perf_counter() * 1e9)
 
@@ -103,12 +120,12 @@ class QuakeIndex:
             centroids_np = np.asarray(centroids)
             assigns_np = np.asarray(assignments)
             if bp.balance_partitions:
-                # Bound slab padding: split clusters above ~1.5x the mean
-                # (see kmeans.balance_clusters docstring).
+                # Bound slab padding: split clusters above balance_factor x
+                # the mean (see kmeans.balance_clusters docstring).
                 from quake_tpu.kmeans import balance_clusters
 
                 mean = max(n // max(bp.nlist, 1), 1)
-                cap = max(256, -(-int(1.5 * mean) // 256) * 256)
+                cap = max(256, -(-int(bp.balance_factor * mean) // 128) * 128)
                 centroids_np, assigns_np = balance_clusters(
                     x, centroids_np, assigns_np, cap
                 )
@@ -131,7 +148,7 @@ class QuakeIndex:
             # Flat: one partition holding everything (quake_index.cpp:68-79).
             self.store.init_single_partition(x, ids)
 
-        if bp.nlist > 1 and bp.calibrate_aps and n >= 50_000:
+        if bp.nlist > 1 and bp.calibrate_aps and n >= 10_000:
             self.calibrate_aps()
 
         # Reference spawns num_workers scan workers at build
@@ -183,16 +200,27 @@ class QuakeIndex:
         sample_ids = self.store.get_ids()[:nq]
         q_np, found = self.store.get_vectors(sample_ids)
         q = jnp.asarray(q_np[found])
+        self_ids = np.asarray(sample_ids)[found].astype(np.int64)
         if q.shape[0] < 8:
             return
         state = self.store.state
-        _, gt32 = coordinator.flat_search(state.codes, state.ids, q, k, self.metric)
-        gt = np.asarray(gt32).astype(np.int64)
+        # k+1 then drop the self match: the sample queries ARE resident
+        # vectors, so their rank-0 neighbor is themselves — a free
+        # home-partition hit that inflates calibration recall by ~1/k and
+        # makes the sweep pick an over-confident dimension.
+        _, gt32 = coordinator.flat_search(state.codes, state.ids, q, k + 1,
+                                          self.metric)
+        gt = _drop_self(np.asarray(gt32).astype(np.int64), self_ids, k)
 
-        d_lo = max(self.aps_dimension or 2, 2)
+        # Sweep from below the intrinsic-dimension estimate (smaller model
+        # dimension = more conservative scanning) up to the ambient d; the
+        # intrinsic estimate itself can already be over-confident (isotropic
+        # data: intrinsic == ambient, yet the cap model misses targets at
+        # d >= ~64).
+        d_lo = max((self.aps_dimension or self.d()) // 4, 2)
         d_hi = max(self.d(), d_lo + 1)
         cands = np.unique(
-            np.round(np.geomspace(d_lo, d_hi, 6)).astype(int)
+            np.round(np.geomspace(d_lo, d_hi, 8)).astype(int)
         )[::-1]
         sp = SearchParams(k=k, recall_target=target, initial_search_fraction=0.25,
                           recompute_threshold=0.0, aps_chunk_size=4)
@@ -205,21 +233,21 @@ class QuakeIndex:
 
         chosen = int(cands[-1])
         # Calibrate with the PRODUCTION kernel and a small margin over the
-        # target: the sample queries are resident vectors (home-partition
-        # hits), which makes realized recall on out-of-store queries a bit
-        # lower than on the calibration sample.
+        # target: resident-vector samples are still slightly easier than
+        # out-of-store queries even with the self match excluded.
         margin = 0.02
         for d_cand in cands:
             table = beta_table(int(d_cand), "l2")
             scores, ids32, scanned = coordinator.aps_search(
                 state.codes, state.ids, state.centroids, q, pids,
                 jnp.float32(target), jnp.float32(0.0),
-                k=k, metric=self.metric, dimension=self.d(), chunk=4,
+                k=k + 1, metric=self.metric, dimension=self.d(), chunk=4,
                 use_precomputed=True, table=table,
                 kernel=self._grouped_kernel(),
                 sizes=state.sizes, norms=state.norms,
             )
-            achieved = compute_recall(np.asarray(ids32).astype(np.int64), gt, k)
+            got = _drop_self(np.asarray(ids32).astype(np.int64), self_ids, k)
+            achieved = compute_recall(got, gt, k)
             if achieved >= min(target + margin, 0.995):
                 chosen = int(d_cand)
                 break

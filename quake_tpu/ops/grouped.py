@@ -49,7 +49,67 @@ def build_groups(pids, nlist_cap: int, qt: int):
       qlist      [G, QT] int32  query indices per group (-1 = pad)
       pair_group [B, nprobe]    group of each (query, probe) pair
       pair_slot  [B, nprobe]    slot within the group
+
+    Two builders with identical outputs:
+      * matrix rank (default when B*nlist_cap is modest): scatter a [B, P]
+        presence one-hot, exclusive-cumsum along B, gather per-pair ranks —
+        no sort at all (~6x faster than the 65536-pair argsort the sort
+        path needs at bench shape).
+      * packed single-key sort (fallback for huge B*P).
     """
+    B, nprobe = pids.shape
+    if B * nlist_cap <= 1 << 26:
+        return _build_groups_matrix(pids, nlist_cap, qt)
+    return _build_groups_sort(pids, nlist_cap, qt)
+
+
+@functools.partial(jax.jit, static_argnames=("nlist_cap", "qt"))
+def _build_groups_matrix(pids, nlist_cap: int, qt: int):
+    """Sort-free build_groups via presence-matrix prefix ranks.
+
+    rank(b, j) = number of pairs from earlier queries probing the same
+    partition (exclusive cumsum over the query axis of a [B, P] probe-count
+    matrix, gathered at (b, pids[b, j])) plus the number of earlier probes
+    of the same partition within the row (rows normally probe distinct
+    partitions, but arbitrary pids are part of the contract)."""
+    B, nprobe = pids.shape
+    G = group_layout(B, nprobe, nlist_cap, qt)
+    safe = jnp.where(pids >= 0, pids, nlist_cap)
+    pres = jnp.zeros((B, nlist_cap + 1), jnp.int32)
+    pres = pres.at[
+        jnp.arange(B, dtype=jnp.int32)[:, None], safe
+    ].add(1, mode="drop")
+    before = jnp.cumsum(pres, axis=0) - pres  # exclusive over queries
+    eq = safe[:, :, None] == safe[:, None, :]  # [B, j, j']
+    earlier = (
+        jax.lax.broadcasted_iota(jnp.int32, (nprobe, nprobe), 1)
+        < jax.lax.broadcasted_iota(jnp.int32, (nprobe, nprobe), 0)
+    )
+    dup_rank = jnp.sum((eq & earlier[None]).astype(jnp.int32), axis=2)
+    rank = jnp.take_along_axis(before, safe, axis=1) + dup_rank  # [B, nprobe]
+    counts = before[-1] + pres[-1]  # [P+1] pairs per partition
+    groups_of = (counts[:nlist_cap] + qt - 1) // qt
+    gbase = jnp.cumsum(groups_of) - groups_of  # [P]
+    gb = jnp.where(pids >= 0, gbase[jnp.clip(pids, 0, nlist_cap - 1)], G)
+    pair_group = (gb + rank // qt).astype(jnp.int32)
+    pair_slot = (rank % qt).astype(jnp.int32)
+    pair_group = jnp.where(pids >= 0, pair_group, -1)
+    pair_slot = jnp.where(pids >= 0, pair_slot, 0)
+
+    tgt = jnp.where(pids >= 0, pair_group, G)
+    group_pid = jnp.full((G,), -1, jnp.int32).at[tgt.reshape(-1)].set(
+        pids.reshape(-1), mode="drop")
+    qid = jnp.broadcast_to(
+        jnp.arange(B, dtype=jnp.int32)[:, None], (B, nprobe))
+    qlist = jnp.full((G, qt), -1, jnp.int32).at[
+        tgt.reshape(-1), pair_slot.reshape(-1)
+    ].set(qid.reshape(-1), mode="drop")
+    return group_pid, qlist, pair_group, pair_slot
+
+
+@functools.partial(jax.jit, static_argnames=("nlist_cap", "qt"))
+def _build_groups_sort(pids, nlist_cap: int, qt: int):
+    """Sort-based build_groups (see build_groups)."""
     B, nprobe = pids.shape
     G = group_layout(B, nprobe, nlist_cap, qt)
     n = B * nprobe
@@ -58,9 +118,17 @@ def build_groups(pids, nlist_cap: int, qt: int):
         jnp.arange(B, dtype=jnp.int32)[:, None], (B, nprobe)
     ).reshape(-1)
 
-    # Sort pairs by partition (pads (-1) sort first).
-    order = jnp.argsort(flat_pid, stable=True)
-    p_sorted = flat_pid[order]
+    # Sort pairs by partition (pads (-1) sort first). Sorting ONE packed
+    # int32 key ((pid+1)*n + flat_index, unique) is ~2x faster on TPU than
+    # a stable argsort (which sorts (key, iota) pairs) and reproduces the
+    # stable order exactly, since flat_index rises within each pid run.
+    if (nlist_cap + 1) * n <= 2**31 - 1:
+        key_sorted = jnp.sort((flat_pid + 1) * n + jnp.arange(n, dtype=jnp.int32))
+        p_sorted = key_sorted // n - 1
+        order = key_sorted - (p_sorted + 1) * n
+    else:
+        order = jnp.argsort(flat_pid, stable=True)
+        p_sorted = flat_pid[order]
     q_sorted = flat_qid[order]
     valid = p_sorted >= 0
 
@@ -106,6 +174,58 @@ def build_groups(pids, nlist_cap: int, qt: int):
         pair_group.reshape(B, nprobe),
         pair_slot.reshape(B, nprobe),
     )
+
+
+@functools.partial(jax.jit, static_argnames=("nlist_cap", "qt", "ct", "cap"))
+def build_chunk_groups(pids, sizes, nlist_cap: int, qt: int, ct: int, cap: int):
+    """Chunk-level grouping for the size-aware v4 kernel.
+
+    Extends build_groups: each (partition, query-tile) group expands into
+    ceil(size/ct) chunk-groups covering only the partition's valid prefix —
+    capacity padding beyond the last chunk is never DMA'd nor scanned (the
+    reference's scan cost is size-proportional too, list_scanning.h:241-263).
+    Chunk-groups are compact-prefix in [0, total_chunks) so the kernel can
+    skip the ghost tail.
+
+    Returns:
+      cg_pid   [G2] int32   partition of each chunk-group (-1 = unused)
+      cg_chunk [G2] int32   chunk index within the partition (units of ct)
+      cg_qsrc  [G2] int32   source group index (row into qlist)
+      cg_size  [G2] int32   valid lanes in this chunk (0 = skip)
+      qlist    [G, QT] int32
+      pair_cg  [B, nprobe, MAXCH] int32  chunk-groups of each pair (-1 pad)
+      pair_slot [B, nprobe] int32
+    """
+    group_pid, qlist, pair_group, pair_slot = build_groups(pids, nlist_cap, qt)
+    G = group_pid.shape[0]
+    maxch = -(-cap // ct)
+    G2 = G * maxch
+    gsz = jnp.where(group_pid >= 0, sizes[jnp.maximum(group_pid, 0)], 0)
+    gsz = gsz.astype(jnp.int32)
+    nch = (gsz + ct - 1) // ct  # chunks this group actually needs
+    base = jnp.cumsum(nch) - nch  # compact-prefix chunk-group base per group
+    ch = jnp.arange(maxch, dtype=jnp.int32)
+    tgt = base[:, None] + ch[None, :]  # [G, MAXCH]
+    tgt = jnp.where(ch[None, :] < nch[:, None], tgt, G2)  # drop unused
+    gidx = jnp.arange(G, dtype=jnp.int32)
+    cg_pid = jnp.full((G2,), -1, jnp.int32).at[tgt].set(
+        jnp.broadcast_to(group_pid[:, None], (G, maxch)), mode="drop")
+    cg_chunk = jnp.zeros((G2,), jnp.int32).at[tgt].set(
+        jnp.broadcast_to(ch[None, :], (G, maxch)), mode="drop")
+    cg_qsrc = jnp.zeros((G2,), jnp.int32).at[tgt].set(
+        jnp.broadcast_to(gidx[:, None], (G, maxch)), mode="drop")
+    cg_size = jnp.zeros((G2,), jnp.int32).at[tgt].set(
+        jnp.clip(gsz[:, None] - ch[None, :] * ct, 0, ct), mode="drop")
+
+    # Per-pair chunk-group pointers for the epilogue merge.
+    ok = pair_group >= 0
+    pg = jnp.where(ok, pair_group, 0)
+    pair_cg = base[pg][:, :, None] + ch[None, None, :]
+    pair_cg = jnp.where(
+        ok[:, :, None] & (ch[None, None, :] < nch[pg][:, :, None]),
+        pair_cg, -1,
+    ).astype(jnp.int32)
+    return cg_pid, cg_chunk, cg_qsrc, cg_size, qlist, pair_cg, pair_slot
 
 
 def _group_scores(qg, slab, sids, metric: str, snorms=None):

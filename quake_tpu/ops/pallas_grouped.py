@@ -391,41 +391,16 @@ def grouped_scan_pallas_v3p(codes, ids, sizes, norms, q, pids, k: int,
     )
 
 
-def _v3p_epilogue(g_packed, g_stats, group_pid, pair_group, pair_slot, pids,
-                  safe_q, codes, ids, norms, q, k: int, kk: int, metric: str,
-                  slot_mult: int, levels: int):
-    """Shared v3p/v3p2 epilogue: decode packed winners, dequantize for the
-    cross-group merge, exact-rescore the per-query top k."""
+def _rescore_topk(m_scores, m_refs, codes, ids, norms, q, k: int, kk: int,
+                  metric: str, pids):
+    """Merge tail shared by the packed kernels: top-k by dequantized score,
+    exact rescore of the winners (restores exact distances/order), reference
+    -1/-inf padding (query_coordinator.cpp:447-456)."""
     B = q.shape[0]
-    # Decode: slot + dequantized approximate score (per-row scale).
-    valid = g_packed >= 0.0
-    slots = jnp.mod(g_packed, float(slot_mult)).astype(jnp.int32)
-    keys = jnp.floor(g_packed / float(slot_mult))
-    rowmin = g_stats[:, :, 0:1]
-    rng = g_stats[:, :, 1:2]
-    approx = rowmin + keys * (rng / float(levels))
-    if metric == "l2":
-        qf = q.astype(jnp.float32)
-        q_sq = jnp.sum(qf * qf, axis=1)
-        approx = approx - q_sq[safe_q][:, :, None]
-    approx = jnp.where(valid, approx, NEG_INF)
-    gpid_b = jnp.broadcast_to(
-        jnp.maximum(group_pid, 0)[:, None, None], slots.shape
-    )
-    refs = jnp.where(valid, (gpid_b << 16) | slots, -1)
-
-    # Per-query merge by dequantized score, carrying (pid, slot) refs.
-    ok = pair_group >= 0
-    pg = jnp.where(ok, pair_group, 0)
-    m_scores = jnp.where(
-        ok[:, :, None], approx[pg, pair_slot], NEG_INF
-    ).reshape(B, -1)
-    m_refs = jnp.where(ok[:, :, None], refs[pg, pair_slot], -1).reshape(B, -1)
     kfin = min(k, m_scores.shape[1])
     _, idx = lax.top_k(m_scores, kfin)
     top_refs = jnp.take_along_axis(m_refs, idx, axis=1)
 
-    # Exact rescore of the k winners (restores exact distances/order).
     w_pid = jnp.maximum(top_refs >> 16, 0)
     w_slot = top_refs & 0xFFFF
     vecs = codes[w_pid, w_slot].astype(jnp.float32)  # [B, kfin, D]
@@ -453,14 +428,59 @@ def _v3p_epilogue(g_packed, g_stats, group_pid, pair_group, pair_slot, pids,
     return scores, out_ids, scanned
 
 
-def _v3pn_kernel(metric: str, k: int, slot_mult: int, levels: int, gpb: int):
+def _v3p_epilogue(g_packed, g_stats, group_pid, pair_group, pair_slot, pids,
+                  safe_q, codes, ids, norms, q, k: int, kk: int, metric: str,
+                  slot_mult: int, levels: int, alive=None):
+    """Shared v3p/v3p2 epilogue: decode packed winners, dequantize for the
+    cross-group merge, exact-rescore the per-query top k.
+
+    alive: optional [G] bool — groups whose kernel body ran (ghost-skipped
+    groups hold stale VMEM and must be masked here)."""
+    B = q.shape[0]
+    # Decode: slot + dequantized approximate score (per-row scale).
+    valid = g_packed >= 0.0
+    if alive is not None:
+        valid = valid & alive[:, None, None]
+    slots = jnp.mod(g_packed, float(slot_mult)).astype(jnp.int32)
+    keys = jnp.floor(g_packed / float(slot_mult))
+    rowmin = g_stats[:, :, 0:1]
+    rng = g_stats[:, :, 1:2]
+    approx = rowmin + keys * (rng / float(levels))
+    if metric == "l2":
+        qf = q.astype(jnp.float32)
+        q_sq = jnp.sum(qf * qf, axis=1)
+        approx = approx - q_sq[safe_q][:, :, None]
+    approx = jnp.where(valid, approx, NEG_INF)
+    gpid_b = jnp.broadcast_to(
+        jnp.maximum(group_pid, 0)[:, None, None], slots.shape
+    )
+    refs = jnp.where(valid, (gpid_b << 16) | slots, -1)
+
+    # Per-query merge by dequantized score, carrying (pid, slot) refs.
+    ok = pair_group >= 0
+    pg = jnp.where(ok, pair_group, 0)
+    m_scores = jnp.where(
+        ok[:, :, None], approx[pg, pair_slot], NEG_INF
+    ).reshape(B, -1)
+    m_refs = jnp.where(ok[:, :, None], refs[pg, pair_slot], -1).reshape(B, -1)
+    return _rescore_topk(m_scores, m_refs, codes, ids, norms, q, k, kk,
+                         metric, pids)
+
+
+def _v3pn_kernel(metric: str, k: int, slot_mult: int, levels: int, gpb: int,
+                 skip: bool = False):
     """v3p body over GPB groups per grid step: divides the grid-step count
     (measured ~4us/step fixed cost on v5e against a ~1us DMA floor —
     per-step pipeline overhead, not bandwidth, is the dominant non-VPU
     cost). Each group's slab arrives as its own BlockSpec input over the
     same codes array, so Mosaic's automatic pipeline still prefetches all of
     them — no manual DMA (the manual double-buffer variant measured slower
-    in round 1)."""
+    in round 1).
+
+    skip: guard each group's body with pl.when(size > 0) — build_groups
+    emits a compact prefix of live groups, so the worst-case ghost tail
+    (~25-33% of the layout at bench shapes) costs only its grid steps; the
+    epilogue masks the stale outputs via the alive vector."""
 
     def kernel(group_pid_ref, group_size_ref, qg_ref, *refs):
         slab_refs = refs[:gpb]
@@ -469,22 +489,30 @@ def _v3pn_kernel(metric: str, k: int, slot_mult: int, levels: int, gpb: int):
         stats_ref = refs[2 * gpb + 1]
         g = pl.program_id(0)
         for j in range(gpb):
-            out, stats = _v3p_group_body(
-                qg_ref[j], slab_refs[j][0], norms_refs[j][0, 0],
-                group_size_ref[gpb * g + j], metric, k, slot_mult, levels,
-            )
-            out_ref[j] = out
-            stats_ref[j] = stats
+            size = group_size_ref[gpb * g + j]
+
+            def body(j=j, size=size):
+                out, stats = _v3p_group_body(
+                    qg_ref[j], slab_refs[j][0], norms_refs[j][0, 0],
+                    size, metric, k, slot_mult, levels,
+                )
+                out_ref[j] = out
+                stats_ref[j] = stats
+
+            if skip:
+                pl.when(size > 0)(body)
+            else:
+                body()
 
     return kernel
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k", "metric", "qt", "gpb", "interpret")
+    jax.jit, static_argnames=("k", "metric", "qt", "gpb", "skip", "interpret")
 )
 def grouped_scan_pallas_v3pn(codes, ids, sizes, norms, q, pids, k: int,
                              metric: str, qt: int = 32, gpb: int = 2,
-                             interpret: bool = False):
+                             skip: bool = True, interpret: bool = False):
     """Multi-group-per-step variant of grouped_scan_pallas_v3p. Same
     inputs/returns/semantics; only the grid pipelining differs. gpb slabs are
     double-buffered in VMEM (~16 MB/core budget: gpb=4 at C=1536, D=128 f32
@@ -515,7 +543,7 @@ def grouped_scan_pallas_v3pn(codes, ids, sizes, norms, q, pids, k: int,
             (1, 1, C), lambda g, gp_, gs: (jnp.maximum(gp_[gpb * g + j], 0), 0, 0)
         )
 
-    kernel = _v3pn_kernel(metric, kk, slot_mult, levels, gpb)
+    kernel = _v3pn_kernel(metric, kk, slot_mult, levels, gpb, skip=skip)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(Gn // gpb,),
@@ -543,6 +571,7 @@ def grouped_scan_pallas_v3pn(codes, ids, sizes, norms, q, pids, k: int,
     return _v3p_epilogue(
         g_packed, g_stats, gp, pair_group, pair_slot, pids, safe_q,
         codes, ids, norms, q, k, kk, metric, slot_mult, levels,
+        alive=(group_size > 0) if skip else None,
     )
 
 
@@ -552,6 +581,181 @@ def grouped_scan_pallas_v3p2(codes, ids, sizes, norms, q, pids, k: int,
     """Two-groups-per-step v3p (see grouped_scan_pallas_v3pn)."""
     return grouped_scan_pallas_v3pn(codes, ids, sizes, norms, q, pids, k,
                                     metric, qt=qt, gpb=2, interpret=interpret)
+
+
+def _v4_kernel(metric: str, k: int, slot_mult: int, levels: int, gpb: int,
+               mat_qg: bool = False):
+    """v4 chunked kernel body: one v3p selection per (partition, query-tile,
+    chunk) chunk-group over a [QT, CT] tile.
+
+    Size-awareness without the per-tile merge that sank the round-1
+    tile-streamed kernel: each chunk emits its own packed top-k and the
+    dequantized cross-chunk merge happens in the XLA epilogue (quantized keys
+    use per-row-per-chunk scales, so chunks merge exactly like groups).
+    Capacity padding past the last chunk is never fetched — DMA, matmul,
+    quantize prologue and selection all track ceil(size/ct)*ct instead of C
+    (the reference's scan cost is size-proportional too,
+    list_scanning.h:241-263). Ghost-tail and empty chunk-groups are
+    pl.when-skipped; their slab block indices repeat so the pipeline does
+    not re-fetch."""
+
+    def kernel(cg_pid_ref, cg_size_ref, cg_qsrc_ref, cg_chunk_ref, *refs):
+        nq = 1 if mat_qg else gpb
+        qg_refs = refs[:nq]
+        slab_refs = refs[nq:nq + gpb]
+        norms_refs = refs[nq + gpb:nq + 2 * gpb]
+        out_ref = refs[nq + 2 * gpb]
+        stats_ref = refs[nq + 2 * gpb + 1]
+        g = pl.program_id(0)
+        for j in range(gpb):
+            size = cg_size_ref[gpb * g + j]
+
+            def body(j=j, size=size):
+                qg = qg_refs[0][j] if mat_qg else qg_refs[j][0]
+                out, stats = _v3p_group_body(
+                    qg, slab_refs[j][0], norms_refs[j][0, 0, 0],
+                    size, metric, k, slot_mult, levels,
+                )
+                out_ref[j] = out
+                stats_ref[j] = stats
+
+            pl.when(size > 0)(body)
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "metric", "qt", "ct", "gpb", "mat_qg", "interpret"),
+)
+def grouped_scan_pallas_v4(codes, ids, sizes, norms, q, pids, k: int,
+                           metric: str, qt: int = 32, ct: int = 512,
+                           gpb: int = 8, mat_qg: bool = False,
+                           interpret: bool = False):
+    """Size-aware chunked grouped scan (see _v4_kernel).
+
+    Same inputs/returns/semantics as grouped_scan_pallas_v3p; additionally
+    requires C % ct == 0 (callers pick ct from the store's tile-bucketed C).
+
+    mat_qg: materialize query tiles per CHUNK-group ([G2, QT, D] gather) and
+    feed them through one grid-indexed BlockSpec instead of gpb
+    scalar-indexed specs over the per-GROUP tiles.
+    """
+    B, D = q.shape
+    P, C, _ = codes.shape
+    if P >= 32768 or C > 65536:
+        raise ValueError("v4 packs (pid, slot) into int32: needs P < 32768, C <= 65536")
+    if C % ct:
+        raise ValueError(f"v4 needs C % ct == 0 (C={C}, ct={ct})")
+    kk = min(k, ct)
+    slot_mult = max(1 << (int(ct - 1).bit_length()), 2)
+    levels = (1 << 24) // slot_mult - 2
+    from quake_tpu.ops.grouped import build_chunk_groups
+
+    (cg_pid, cg_chunk, cg_qsrc, cg_size, qlist, pair_cg,
+     pair_slot) = build_chunk_groups(pids, sizes, P, qt, ct, C)
+    G2 = cg_pid.shape[0]
+    Gn = -(-G2 // gpb) * gpb
+    cg_pid = jnp.pad(cg_pid, (0, Gn - G2), constant_values=-1)
+    cg_chunk = jnp.pad(cg_chunk, (0, Gn - G2))
+    cg_qsrc = jnp.pad(cg_qsrc, (0, Gn - G2))
+    cg_size = jnp.pad(cg_size, (0, Gn - G2))
+
+    safe_q = jnp.where(qlist >= 0, qlist, 0)  # [G, QT]
+    qg = q.astype(codes.dtype)[safe_q]  # [G, QT, D]
+    if mat_qg:
+        qg_in = qg[cg_qsrc]  # [Gn, QT, D]
+        qg_specs = [pl.BlockSpec((gpb, qt, D), lambda g, *_: (g, 0, 0))]
+        qg_args = [qg_in]
+    else:
+        def qg_spec(j):
+            return pl.BlockSpec(
+                (1, qt, D),
+                lambda g, pid_, sz_, qs_, ch_: (qs_[gpb * g + j], 0, 0),
+            )
+
+        qg_specs = [qg_spec(j) for j in range(gpb)]
+        qg_args = [qg] * gpb
+
+    def slab_spec(j):
+        return pl.BlockSpec(
+            (1, ct, D),
+            lambda g, pid_, sz_, qs_, ch_: (
+                jnp.maximum(pid_[gpb * g + j], 0), ch_[gpb * g + j], 0),
+        )
+
+    def norms_spec(j):
+        # 4D layout so the block's LAST TWO dims (1, ct) equal the array's
+        # last two dims — a (1, 1, ct) window over [P, 1, C] violates
+        # Mosaic's (8, 128)-divisibility rule when ct < C and lowers to a
+        # slow unaligned copy (measured ~10ms per chunk level in ab5/ab6).
+        return pl.BlockSpec(
+            (1, 1, 1, ct),
+            lambda g, pid_, sz_, qs_, ch_: (
+                jnp.maximum(pid_[gpb * g + j], 0), ch_[gpb * g + j], 0, 0),
+        )
+
+    kernel = _v4_kernel(metric, kk, slot_mult, levels, gpb, mat_qg=mat_qg)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(Gn // gpb,),
+        in_specs=(
+            qg_specs
+            + [slab_spec(j) for j in range(gpb)]
+            + [norms_spec(j) for j in range(gpb)]
+        ),
+        out_specs=[
+            pl.BlockSpec((gpb, qt, kk), lambda g, *_: (g, 0, 0)),
+            pl.BlockSpec((gpb, qt, 2), lambda g, *_: (g, 0, 0)),
+        ],
+    )
+    out_shape = [
+        jax.ShapeDtypeStruct((Gn, qt, kk), jnp.float32),
+        jax.ShapeDtypeStruct((Gn, qt, 2), jnp.float32),
+    ]
+    norms4 = norms.reshape(P, C // ct, 1, ct)
+    g_packed, g_stats = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(cg_pid, cg_size, cg_qsrc, cg_chunk,
+      *qg_args, *([codes] * gpb), *([norms4] * gpb))
+
+    # ---- epilogue: decode, dequantize, two-stage merge, exact rescore ----
+    alive = cg_size > 0
+    valid = (g_packed >= 0.0) & alive[:, None, None]
+    slots_local = jnp.mod(g_packed, float(slot_mult)).astype(jnp.int32)
+    keys = jnp.floor(g_packed / float(slot_mult))
+    rowmin = g_stats[:, :, 0:1]
+    rng = g_stats[:, :, 1:2]
+    approx = rowmin + keys * (rng / float(levels))
+    if metric == "l2":
+        qf = q.astype(jnp.float32)
+        q_sq = jnp.sum(qf * qf, axis=1)  # [B]
+        approx = approx - q_sq[safe_q][cg_qsrc][:, :, None]
+    approx = jnp.where(valid, approx, NEG_INF)
+    gslot = cg_chunk[:, None, None] * ct + slots_local
+    refs = jnp.where(
+        valid, (jnp.maximum(cg_pid, 0)[:, None, None] << 16) | gslot, -1)
+
+    # Stage 1: per-(query, probe) reduce the chunks' kk candidates to kk.
+    okc = pair_cg >= 0  # [B, nprobe, MAXCH]
+    pcg = jnp.where(okc, pair_cg, 0)
+    ps = pair_slot[:, :, None]
+    s = jnp.where(okc[..., None], approx[pcg, ps], NEG_INF)  # [B,np,MC,kk]
+    rf = jnp.where(okc[..., None], refs[pcg, ps], -1)
+    Bq, npb, maxch, _ = s.shape
+    s = s.reshape(Bq, npb, maxch * kk)
+    rf = rf.reshape(Bq, npb, maxch * kk)
+    if maxch > 1:
+        s, idx = lax.top_k(s, kk)
+        rf = jnp.take_along_axis(rf, idx, axis=2)
+    # Stage 2: standard cross-probe merge + exact rescore.
+    m_scores = s.reshape(Bq, -1)
+    m_refs = rf.reshape(Bq, -1)
+    return _rescore_topk(m_scores, m_refs, codes, ids, norms, q, k, kk,
+                         metric, pids)
 
 
 def _scores_kernel(metric: str):

@@ -101,6 +101,12 @@ class IndexBuildParams:
     # Split clusters above ~1.5x mean size at build so slab padding (set by
     # the largest partition) stays bounded. May grow nlist slightly.
     balance_partitions: bool = True
+    # Build-time split threshold as a multiple of the mean partition size:
+    # the padded slab capacity C (and so every scan's lane count) tracks the
+    # LARGEST partition, so a tighter factor trades a few % more partitions
+    # for proportionally less padding scanned (TPU-only concern; the
+    # reference's heap buffers tolerate imbalance).
+    balance_factor: float = 1.5
     # Calibrate the APS recall model's dimension against realized recall on
     # a small sample at build time (corpora >= 50k only).
     calibrate_aps: bool = True

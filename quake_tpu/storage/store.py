@@ -299,11 +299,12 @@ class PartitionStore:
         assigns_np = np.asarray(assignments)
         nlist = int(np.asarray(centroids).shape[0])
         counts = np.bincount(assigns_np, minlength=nlist)
-        # Round capacity to a 256-row tile multiple (not pow2): with
-        # build-time balancing the max partition is ~1.5x the mean, and C
-        # directly multiplies every scan's HBM traffic.
+        # Round capacity to a 128-row tile multiple (not pow2): with
+        # build-time balancing the max partition is ~balance_factor x the
+        # mean, and C directly multiplies every scan's HBM traffic and VPU
+        # lane count.
         max_count = int(counts.max(initial=1))
-        C = max(MIN_CAPACITY, -(-max_count // 256) * 256)
+        C = max(MIN_CAPACITY, -(-max_count // 128) * 128)
         # Partition-axis padding: tight 128-granularity (P directly scales
         # the grouped scan's group count; pow2 doubling wastes up to 2x).
         # Growth happens on demand in ensure_rows, also at 128 granularity.

@@ -179,3 +179,52 @@ def test_multi_kernel_interpret_matches_xla(metric):
     np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), rtol=1e-5, atol=1e-5)
     for b in range(B):
         assert set(np.asarray(i1)[b].tolist()) == set(np.asarray(i2)[b].tolist())
+
+
+@pytest.mark.parametrize("variant_name", ["v3p4_skip", "v4_ct32", "v4_ct64"])
+@pytest.mark.parametrize("metric", ["l2", "ip"])
+def test_v4_kernels_interpret_match_xla(metric, variant_name):
+    """Ghost-skip v3pn and the size-aware chunked v4 kernel: parity with the
+    XLA backend, including poisoned pads, empty partitions (size 0, whose
+    chunk-groups must not exist), and ghost-tail masking in the epilogue."""
+    from quake_tpu.ops.pallas_grouped import (
+        grouped_scan_pallas_v3pn,
+        grouped_scan_pallas_v4,
+    )
+
+    rng = np.random.default_rng(4)
+    P, C, D, B, nprobe, k, qt = 8, 128, 16, 12, 3, 5, 8
+    codes = rng.standard_normal((P, C, D)).astype(np.float32)
+    ids = np.arange(P * C, dtype=np.int32).reshape(P, C)
+    sizes = np.zeros(P, np.int32)
+    for p in range(P):
+        sizes[p] = rng.integers(0, C + 1)  # include empty partitions
+        ids[p, sizes[p]:] = -1
+        codes[p, sizes[p]:] = 10.0  # poison: pads must never surface
+    norms = (codes.astype(np.float32) ** 2).sum(axis=2)
+    q = rng.standard_normal((B, D)).astype(np.float32)
+    pids = rng.integers(0, P, (B, nprobe)).astype(np.int32)
+    pids[0, 1:] = -1
+
+    clean = codes.copy()
+    for p in range(P):
+        clean[p, sizes[p]:] = 0.0
+    s1, i1, n1 = grouped_scan_xla(
+        jnp.asarray(clean), jnp.asarray(ids), jnp.asarray(q), jnp.asarray(pids),
+        k, metric, qt=qt, group_chunk=4,
+    )
+    args = (
+        jnp.asarray(codes), jnp.asarray(ids), jnp.asarray(sizes),
+        jnp.asarray(norms), jnp.asarray(q), jnp.asarray(pids), k, metric,
+    )
+    if variant_name == "v3p4_skip":
+        s2, i2, n2 = grouped_scan_pallas_v3pn(
+            *args, qt=qt, gpb=4, skip=True, interpret=True)
+    else:
+        ct = int(variant_name.split("_ct")[1])
+        s2, i2, n2 = grouped_scan_pallas_v4(
+            *args, qt=qt, ct=ct, gpb=3, interpret=True)
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), rtol=1e-4, atol=1e-4)
+    np.testing.assert_array_equal(np.asarray(n1), np.asarray(n2))
+    for b in range(B):
+        assert set(np.asarray(i1)[b].tolist()) == set(np.asarray(i2)[b].tolist())
