@@ -211,7 +211,8 @@ def aps_search(
 
 
 def grouped_scan(codes, ids, sizes, norms, q, pids, k: int, metric: str,
-                 qt: int, group_chunk: int, kernel: str):
+                 qt: int, group_chunk: int, kernel: str,
+                 dedup: bool = False):
     """Dispatch to a grouped-scan backend by name.
 
     kernel: "xla" (chunked lax.map — any platform), "v2" (whole-slab Pallas,
@@ -243,7 +244,8 @@ def grouped_scan(codes, ids, sizes, norms, q, pids, k: int, metric: str,
         from quake_tpu.ops.pallas_grouped import grouped_scan_pallas_v3pn
 
         return grouped_scan_pallas_v3pn(codes, ids, sizes, norms, q, pids,
-                                        k, metric, qt=qt, gpb=int(kernel[3:]))
+                                        k, metric, qt=qt, gpb=int(kernel[3:]),
+                                        dedup=dedup)
     if kernel == "v3p":
         from quake_tpu.ops.pallas_grouped import grouped_scan_pallas_v3p
 
@@ -261,17 +263,19 @@ def grouped_scan(codes, ids, sizes, norms, q, pids, k: int, metric: str,
     from quake_tpu.ops.grouped import grouped_scan_xla
 
     return grouped_scan_xla(codes, ids, q, pids, k, metric, qt=qt,
-                            group_chunk=group_chunk, norms=norms)
+                            group_chunk=group_chunk, norms=norms,
+                            dedup=dedup)
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("k", "nprobe", "metric", "qt", "group_chunk", "kernel"),
+    static_argnames=(
+        "k", "nprobe", "metric", "qt", "group_chunk", "kernel", "dedup"),
 )
 def fused_ivf_search(
     codes, ids, sizes, norms, parent_codes, parent_ids, q,
     k: int, nprobe: int, metric: str, qt: int, group_chunk: int,
-    kernel: str = "xla",
+    kernel: str = "xla", dedup: bool = False,
 ):
     """End-to-end fixed-nprobe search as ONE device program: parent centroid
     scan -> partition-major grouped scan -> top-k merge -> distance
@@ -289,7 +293,8 @@ def fused_ivf_search(
         nprobe, metric, approx=True,
     )
     scores, ids32, scanned = grouped_scan(
-        codes, ids, sizes, norms, q, pids, k, metric, qt, group_chunk, kernel
+        codes, ids, sizes, norms, q, pids, k, metric, qt, group_chunk, kernel,
+        dedup=dedup,
     )
     dists = scores_to_distances(scores, ids32, metric)
     return scores, ids32, dists, scanned, pids

@@ -78,6 +78,8 @@ class QuakeIndex:
         self.maintenance_policy = None  # set by initialize_maintenance_policy
         self.mesh = None  # device mesh when num_shards > 1
         self.aps_dimension = 0  # effective dim for the APS recall model
+        self.spill = False  # SOAR spilled assignment (IndexBuildParams.spill)
+        self.soar_lambda = 1.0
         self.latency_profile = None  # profiled (n, k) grid, else analytic
         self._nprobe_bucket = 8  # pow2 padding for probe lists
         # Mutation coalescing buffer (IndexBuildParams.mutation_buffer_size).
@@ -134,7 +136,22 @@ class QuakeIndex:
             timing.n_clusters = nlist_final
 
             t_assign = _now_us()
-            self.store.init_from_assignments(x, ids, centroids_np, assigns_np)
+            spill_np = None
+            if bp.spill:
+                # SOAR spilled assignment (beyond the reference; see
+                # IndexBuildParams.spill): secondary partition with the
+                # residual-orthogonality objective vs the FINAL (balanced)
+                # centroids, keeping the balanced primary assignment.
+                from quake_tpu.kmeans import soar_assign
+
+                self.spill = True
+                self.soar_lambda = float(bp.soar_lambda)
+                _, spill_np = soar_assign(
+                    x, centroids_np, self.soar_lambda, primary=assigns_np
+                )
+            self.store.init_from_assignments(
+                x, ids, centroids_np, assigns_np, spill_assignments=spill_np
+            )
             timing.assign_time_us = _now_us() - t_assign
 
             # Recursive parent over the centroids (quake_index.cpp:57-61).
@@ -148,7 +165,11 @@ class QuakeIndex:
             # Flat: one partition holding everything (quake_index.cpp:68-79).
             self.store.init_single_partition(x, ids)
 
-        if bp.nlist > 1 and bp.calibrate_aps and n >= 10_000:
+        # Spilled stores skip calibration: the flat ground truth would hold
+        # duplicate ids; the uncalibrated model is conservative there (a
+        # neighbor is findable in TWO partitions, so per-partition recall is
+        # underestimated -> APS scans a little more than needed).
+        if bp.nlist > 1 and bp.calibrate_aps and n >= 10_000 and not bp.spill:
             self.calibrate_aps()
 
         # Reference spawns num_workers scan workers at build
@@ -257,6 +278,12 @@ class QuakeIndex:
         """Shard the partition store over a device mesh (the analog of the
         reference's worker-pool initialization, query_coordinator.cpp:50-73,
         with ICI collectives replacing job queues)."""
+        if self.spill:
+            raise NotImplementedError(
+                "mesh sharding of SOAR-spilled indexes is not supported yet "
+                "(the cross-shard merge lacks the dedup stage); build with "
+                "spill=False or num_shards=1"
+            )
         from quake_tpu.parallel.mesh import make_mesh, shard_store_state
 
         self.mesh = make_mesh(n_devices)
@@ -366,7 +393,7 @@ class QuakeIndex:
                     pstate.codes, pstate.ids, q,
                     k=k, nprobe=parent_k, metric=self.metric,
                     qt=qt, group_chunk=group_chunk,
-                    kernel=self._grouped_kernel(),
+                    kernel=self._grouped_kernel(), dedup=self.spill,
                 )
             timing.partitions_scanned = parent_k
             timing.parent_info = SearchTimingInfo(
@@ -528,6 +555,10 @@ class QuakeIndex:
                     table=table, qt=qt, group_chunk=group_chunk,
                 )
             else:
+                # Spilled stores run the loop at 2k and dedup after: the
+                # chunk merges can carry both copies of a neighbor, and the
+                # 2k-th distance makes the recall model conservative.
+                k_eff = 2 * k if self.spill else k
                 scores, ids32, scanned = coordinator.aps_search(
                     state.codes,
                     state.ids,
@@ -536,7 +567,7 @@ class QuakeIndex:
                     pids,
                     jnp.float32(sp.recall_target),
                     jnp.float32(sp.recompute_threshold),
-                    k=k,
+                    k=k_eff,
                     metric=self.metric,
                     dimension=self.aps_dimension or self.d(),
                     chunk=chunk,
@@ -547,6 +578,10 @@ class QuakeIndex:
                     sizes=state.sizes,
                     norms=state.norms,
                 )
+                if self.spill:
+                    from quake_tpu.ops.scan import dedup_topk
+
+                    scores, ids32 = dedup_topk(scores, ids32, k)
             # Keep `scanned` on device: materializing the mean here would
             # force a full sync per dispatch and serialize the batch
             # pipeline (search() fills partitions_scanned after its
@@ -561,16 +596,17 @@ class QuakeIndex:
             )
             timing.partitions_scanned = parent_k
             self._record_hits(pids, scanned)
-        elif int(q.shape[0]) >= 16 or sp.batched_scan:
+        elif int(q.shape[0]) >= 16 or sp.batched_scan or self.spill:
             # Partition-major grouped scan: each probed partition streams
             # once per batch (the batched_serial_scan analog,
             # query_coordinator.cpp:675-799) — the high-throughput path.
+            # Spilled stores always take it (it carries the dedup merge).
             from quake_tpu.ops.grouped import grouped_scan_xla
 
             qt, group_chunk = self._grouped_params(int(q.shape[0]), parent_k)
             scores, ids32, scanned = grouped_scan_xla(
                 state.codes, state.ids, q, pids, k, self.metric,
-                qt=qt, group_chunk=group_chunk,
+                qt=qt, group_chunk=group_chunk, dedup=self.spill,
             )
             timing.partitions_scanned = parent_k
             self._record_hits(pids, scanned)
@@ -641,15 +677,19 @@ class QuakeIndex:
             return timing
 
         t1 = _now_us()
+        srows = None
         if self.parent is not None:
-            rows = self._assign_rows(x)
-            rows = self._ensure_room_by_splitting(rows, x, ids)
+            if self.spill:
+                rows, srows = self._assign_rows_spill(x)
+            else:
+                rows = self._assign_rows(x)
+                rows = self._ensure_room_by_splitting(rows, x, ids)
         else:
             rows = np.zeros(x.shape[0], dtype=np.int32)
         timing.find_partition_time_us = _now_us() - t1
 
         t2 = _now_us()
-        self.store.append(rows, x, ids)
+        self.store.append(rows, x, ids, spill_rows=srows)
         timing.modify_time_us = _now_us() - t2
         return timing
 
@@ -662,6 +702,10 @@ class QuakeIndex:
         self._pending_x.clear()
         self._pending_vids.clear()
         self._pending_idset.clear()
+        if self.spill:
+            rows, srows = self._assign_rows_spill(x)
+            self.store.append(rows, x, ids, spill_rows=srows)
+            return
         rows = self._assign_rows(x)
         rows = self._ensure_room_by_splitting(rows, x, ids)
         self.store.append(rows, x, ids)
@@ -743,6 +787,19 @@ class QuakeIndex:
         _, rows32, _ = self.parent._search_device(jnp.asarray(x), sp)
         return np.asarray(rows32)[:, 0].astype(np.int32)
 
+    def _assign_rows_spill(self, x):
+        """(primary, spill) row assignment with the same SOAR objective the
+        build uses, against the current active centroids."""
+        from quake_tpu.kmeans import soar_assign
+
+        rows_act = self.store.active_rows()
+        cents = np.asarray(self.store.state.centroids)[rows_act]
+        a1, a2 = soar_assign(x, cents, self.soar_lambda)
+        return (
+            rows_act[a1].astype(np.int32),
+            rows_act[a2].astype(np.int32),
+        )
+
     def _ensure_room_by_splitting(self, rows: np.ndarray, x, ids) -> np.ndarray:
         """Capacity-isolation growth: when an insert batch would overflow a
         partition's slab capacity AND that partition is an outlier (>1.5x the
@@ -820,8 +877,12 @@ class QuakeIndex:
     # ------------------------------------------------------------ maintenance
 
     def maintenance(self) -> MaintenanceTimingInfo:
-        """Cost-based split/delete + local refinement (quake_index.cpp:157-163)."""
-        if self.maintenance_policy is None:
+        """Cost-based split/delete + local refinement (quake_index.cpp:157-163).
+
+        SOAR-spilled indexes: a no-op for now — split/refine re-cluster a
+        partition's residents, which would treat spilled copies as
+        independent points and break the two-residency invariant."""
+        if self.maintenance_policy is None or self.spill:
             return MaintenanceTimingInfo()
         self._flush_mutations()
         return self.maintenance_policy.perform_maintenance()
@@ -844,6 +905,8 @@ class QuakeIndex:
             "precision": "bf16" if state.codes.dtype == jnp.bfloat16 else "f32",
             "has_parent": self.parent is not None,
             "aps_dimension": self.aps_dimension,
+            "spill": self.spill,
+            "soar_lambda": self.soar_lambda,
             "free_rows": self.store.free_rows,
         }
         with open(os.path.join(path, "metadata.json"), "w") as f:
@@ -909,10 +972,27 @@ class QuakeIndex:
         # Rebuild the resident-id map from stored slots.
         from quake_tpu.storage.idmap import make_id_map
 
+        self.spill = bool(meta.get("spill", False))
+        self.soar_lambda = float(meta.get("soar_lambda", 1.0))
         mask = ids >= 0
         rr, cc = np.nonzero(mask)
-        self.store.id_map = make_id_map(int(mask.sum()))
-        self.store.id_map.set_batch(ids[rr, cc].astype(np.int64), rr.astype(np.int32))
+        flat_ids = ids[rr, cc].astype(np.int64)
+        if self.spill:
+            # Each id is resident twice; split occurrences between the two
+            # maps (which copy is "primary" is immaterial — copies are the
+            # same vector; remove/update address both maps).
+            _, first_idx = np.unique(flat_ids, return_index=True)
+            is_first = np.zeros(len(flat_ids), bool)
+            is_first[first_idx] = True
+            self.store.id_map = make_id_map(int(is_first.sum()))
+            self.store.id_map.set_batch(
+                flat_ids[is_first], rr[is_first].astype(np.int32))
+            self.store.spill_map = make_id_map(int((~is_first).sum()))
+            self.store.spill_map.set_batch(
+                flat_ids[~is_first], rr[~is_first].astype(np.int32))
+        else:
+            self.store.id_map = make_id_map(int(mask.sum()))
+            self.store.id_map.set_batch(flat_ids, rr.astype(np.int32))
 
         if meta["has_parent"]:
             self.parent = QuakeIndex(level=self.level + 1)
@@ -966,7 +1046,8 @@ class QuakeIndex:
             if (ids[r, :sz] < 0).any() or (ids[r, sz:] >= 0).any():
                 return False
             total += sz
-        if total != self.ntotal():
+        # Spilled stores hold every vector twice; ntotal stays logical.
+        if total != self.ntotal() * (2 if self.spill else 1):
             return False
         if self.parent is not None and self.parent.ntotal() != self.nlist():
             return False

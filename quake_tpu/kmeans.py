@@ -265,3 +265,51 @@ def balance_clusters(x, centroids, assignments, cap: int, max_rounds: int = 12,
             break
         centroids = np.concatenate([centroids, np.stack(new_cents)])
     return centroids, assignments
+
+
+def soar_assign(x, centroids, lam: float = 1.0, batch: int = 65536,
+                primary=None):
+    """Primary + spill partition per vector (SOAR, beyond the reference).
+
+    spill = argmin over j != primary of ||x - c_j||^2 + lam*(r_j . r1_hat)^2
+    where r1_hat is the normalized primary residual — penalizing spill
+    residuals PARALLEL to the primary residual, so whichever of the two
+    partitions a query probes, one copy's quantization error is unlikely to
+    point away from the query (ScaNN's SOAR objective). lam=0 reduces to
+    plain second-nearest spilling.
+
+    primary: optional [n] precomputed primary assignment (e.g. the
+    build-time balanced assignment); computed as nearest-centroid if absent.
+
+    Returns (a1 [n] int32, a2 [n] int32), computed on device in chunks.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    x = np.asarray(x, dtype=np.float32)
+    cj = jnp.asarray(np.asarray(centroids, dtype=np.float32))
+    c_sq = jnp.sum(cj * cj, axis=1)
+
+    @functools.partial(jax.jit, static_argnames=("has_primary",))
+    def block(xb, a1b, has_primary):
+        prod = xb @ cj.T
+        d2 = -2.0 * prod + c_sq[None, :]  # + ||x||^2 is rank-invariant
+        a1 = a1b if has_primary else jnp.argmin(d2, axis=1)
+        r1 = xb - cj[a1]
+        r1n = r1 / jnp.maximum(jnp.linalg.norm(r1, axis=1, keepdims=True), 1e-9)
+        dot = jnp.sum(xb * r1n, axis=1, keepdims=True) - r1n @ cj.T
+        score = d2 + lam * dot * dot
+        score = score.at[jnp.arange(xb.shape[0]), a1].set(jnp.inf)
+        return a1.astype(jnp.int32), jnp.argmin(score, axis=1).astype(jnp.int32)
+
+    n = x.shape[0]
+    a1 = np.empty(n, np.int32)
+    a2 = np.empty(n, np.int32)
+    prim = None if primary is None else np.asarray(primary).astype(np.int32)
+    for s in range(0, n, batch):
+        e = min(s + batch, n)
+        p = jnp.zeros(e - s, jnp.int32) if prim is None else jnp.asarray(prim[s:e])
+        o1, o2 = block(jnp.asarray(x[s:e]), p, prim is not None)
+        a1[s:e] = np.asarray(o1)
+        a2[s:e] = np.asarray(o2)
+    return a1, a2

@@ -249,10 +249,11 @@ def _group_scores(qg, slab, sids, metric: str, snorms=None):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k", "metric", "qt", "group_chunk")
+    jax.jit, static_argnames=("k", "metric", "qt", "group_chunk", "dedup")
 )
 def grouped_scan_xla(codes, ids, q, pids, k: int, metric: str,
-                     qt: int = 64, group_chunk: int = 64, norms=None):
+                     qt: int = 64, group_chunk: int = 64, norms=None,
+                     dedup: bool = False):
     """Partition-major batched scan, chunked-XLA backend.
 
     codes [P, C, D], ids [P, C], q [B, D], pids [B, nprobe] int32;
@@ -299,11 +300,16 @@ def grouped_scan_xla(codes, ids, q, pids, k: int, metric: str,
     g_scores = g_scores.reshape(n_chunks * group_chunk, qt, kk)
     g_ids = g_ids.reshape(n_chunks * group_chunk, qt, kk)
 
-    return _merge_groups(g_scores, g_ids, pair_group, pair_slot, pids, k, kk)
+    return _merge_groups(g_scores, g_ids, pair_group, pair_slot, pids, k, kk,
+                         dedup=dedup)
 
 
-def _merge_groups(g_scores, g_ids, pair_group, pair_slot, pids, k: int, kk: int):
-    """Epilogue: gather each query's per-probe group results and merge."""
+def _merge_groups(g_scores, g_ids, pair_group, pair_slot, pids, k: int,
+                  kk: int, dedup: bool = False):
+    """Epilogue: gather each query's per-probe group results and merge.
+
+    dedup: spilled stores hold each vector in two partitions; keep only the
+    first occurrence of each id (see _rescore_topk in pallas_grouped)."""
     B, nprobe = pair_group.shape
     ok = pair_group >= 0
     pg = jnp.where(ok, pair_group, 0)
@@ -311,9 +317,24 @@ def _merge_groups(g_scores, g_ids, pair_group, pair_slot, pids, k: int, kk: int)
     i = g_ids[pg, pair_slot]
     s = jnp.where(ok[:, :, None], s, NEG_INF)
     i = jnp.where(ok[:, :, None], i, -1)
+    pool = min(2 * k if dedup else k, nprobe * kk)
     scores, out_ids = topk_from_scores(
-        s.reshape(B, nprobe * kk), i.reshape(B, nprobe * kk), min(k, nprobe * kk)
+        s.reshape(B, nprobe * kk), i.reshape(B, nprobe * kk), pool
     )
+    if dedup:
+        earlier = (
+            lax.broadcasted_iota(jnp.int32, (pool, pool), 1)
+            < lax.broadcasted_iota(jnp.int32, (pool, pool), 0)
+        )
+        same = out_ids[:, :, None] == out_ids[:, None, :]
+        is_dup = jnp.any(same & earlier[None] & (out_ids >= 0)[:, :, None],
+                         axis=2)
+        scores = jnp.where(is_dup, NEG_INF, scores)
+        out_ids = jnp.where(is_dup, -1, out_ids)
+        scores, order = lax.top_k(scores, pool)
+        out_ids = jnp.take_along_axis(out_ids, order, axis=1)
+    scores = scores[:, :k]
+    out_ids = out_ids[:, :k]
     if scores.shape[1] < k:
         # Fewer candidates than k: pad with -1/-inf (reference convention,
         # query_coordinator.cpp:447-456).

@@ -392,14 +392,47 @@ def grouped_scan_pallas_v3p(codes, ids, sizes, norms, q, pids, k: int,
 
 
 def _rescore_topk(m_scores, m_refs, codes, ids, norms, q, k: int, kk: int,
-                  metric: str, pids):
+                  metric: str, pids, dedup: bool = False):
     """Merge tail shared by the packed kernels: top-k by dequantized score,
     exact rescore of the winners (restores exact distances/order), reference
-    -1/-inf padding (query_coordinator.cpp:447-456)."""
+    -1/-inf padding (query_coordinator.cpp:447-456).
+
+    dedup: for spilled stores (one vector resident in two partitions) the
+    merged candidates can contain the same id twice. Take a 2k pool by
+    approximate score, keep each id's first occurrence (copies are the SAME
+    vector, so which copy survives is irrelevant), then rescore only the k
+    survivors exactly — the dedup stage touches a [B, pool] id gather, not
+    the [B, pool, D] vector gather."""
     B = q.shape[0]
-    kfin = min(k, m_scores.shape[1])
-    _, idx = lax.top_k(m_scores, kfin)
+    pool = min(2 * k if dedup else k, m_scores.shape[1])
+    _, idx = lax.top_k(m_scores, pool)
     top_refs = jnp.take_along_axis(m_refs, idx, axis=1)
+
+    if dedup:
+        c_pid = jnp.maximum(top_refs >> 16, 0)
+        c_ids = ids[c_pid, top_refs & 0xFFFF]
+        c_ids = jnp.where(top_refs >= 0, c_ids, -1)
+        earlier = (
+            jax.lax.broadcasted_iota(jnp.int32, (pool, pool), 1)
+            < jax.lax.broadcasted_iota(jnp.int32, (pool, pool), 0)
+        )
+        same = c_ids[:, :, None] == c_ids[:, None, :]  # [B, i, j]
+        is_dup = jnp.any(same & earlier[None] & (c_ids >= 0)[:, :, None],
+                         axis=2)
+        # Compact survivors to the front in approx order, keep k.
+        keep_rank = jnp.cumsum((~is_dup).astype(jnp.int32), axis=1) - 1
+        kfin = min(k, pool)
+        lanek = jax.lax.broadcasted_iota(jnp.int32, (B, kfin), 1)
+        sel = jnp.where(is_dup, pool, keep_rank)  # dups -> out of range
+        # survivor j lands at keep_rank[j]: invert with argsort-free select
+        refs_kept = jnp.full((B, kfin), -1, jnp.int32)
+        match = (sel[:, None, :] == lanek[:, :, None])  # [B, kfin, pool]
+        refs_kept = jnp.max(
+            jnp.where(match, top_refs[:, None, :], -1), axis=2
+        )
+        top_refs = refs_kept
+    else:
+        kfin = min(k, pool)
 
     w_pid = jnp.maximum(top_refs >> 16, 0)
     w_slot = top_refs & 0xFFFF
@@ -430,7 +463,8 @@ def _rescore_topk(m_scores, m_refs, codes, ids, norms, q, k: int, kk: int,
 
 def _v3p_epilogue(g_packed, g_stats, group_pid, pair_group, pair_slot, pids,
                   safe_q, codes, ids, norms, q, k: int, kk: int, metric: str,
-                  slot_mult: int, levels: int, alive=None):
+                  slot_mult: int, levels: int, alive=None,
+                  dedup: bool = False):
     """Shared v3p/v3p2 epilogue: decode packed winners, dequantize for the
     cross-group merge, exact-rescore the per-query top k.
 
@@ -464,7 +498,7 @@ def _v3p_epilogue(g_packed, g_stats, group_pid, pair_group, pair_slot, pids,
     ).reshape(B, -1)
     m_refs = jnp.where(ok[:, :, None], refs[pg, pair_slot], -1).reshape(B, -1)
     return _rescore_topk(m_scores, m_refs, codes, ids, norms, q, k, kk,
-                         metric, pids)
+                         metric, pids, dedup=dedup)
 
 
 def _v3pn_kernel(metric: str, k: int, slot_mult: int, levels: int, gpb: int,
@@ -508,11 +542,13 @@ def _v3pn_kernel(metric: str, k: int, slot_mult: int, levels: int, gpb: int,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k", "metric", "qt", "gpb", "skip", "interpret")
+    jax.jit,
+    static_argnames=("k", "metric", "qt", "gpb", "skip", "dedup", "interpret"),
 )
 def grouped_scan_pallas_v3pn(codes, ids, sizes, norms, q, pids, k: int,
                              metric: str, qt: int = 32, gpb: int = 2,
-                             skip: bool = True, interpret: bool = False):
+                             skip: bool = True, dedup: bool = False,
+                             interpret: bool = False):
     """Multi-group-per-step variant of grouped_scan_pallas_v3p. Same
     inputs/returns/semantics; only the grid pipelining differs. gpb slabs are
     double-buffered in VMEM (~16 MB/core budget: gpb=4 at C=1536, D=128 f32
@@ -571,7 +607,7 @@ def grouped_scan_pallas_v3pn(codes, ids, sizes, norms, q, pids, k: int,
     return _v3p_epilogue(
         g_packed, g_stats, gp, pair_group, pair_slot, pids, safe_q,
         codes, ids, norms, q, k, kk, metric, slot_mult, levels,
-        alive=(group_size > 0) if skip else None,
+        alive=(group_size > 0) if skip else None, dedup=dedup,
     )
 
 

@@ -16,6 +16,7 @@ Conventions (matching the reference's output semantics):
 
 from __future__ import annotations
 
+import functools
 
 import jax
 import jax.numpy as jnp
@@ -189,3 +190,27 @@ def scores_to_distances(scores, ids, metric: str):
 def finalize_result(scores, ids, metric: str):
     """(scores, int32 ids) -> (int64-ish ids, distances) in reference layout."""
     return ids, scores_to_distances(scores, ids, metric)
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def dedup_topk(scores, ids, k: int):
+    """Keep each id's best entry, then top-k (SOAR spilled stores: the same
+    vector can reach a merged result list through both of its partitions).
+    scores/ids [B, pool] -> [B, k]."""
+    B, pool = scores.shape
+    earlier = (
+        lax.broadcasted_iota(jnp.int32, (pool, pool), 1)
+        < lax.broadcasted_iota(jnp.int32, (pool, pool), 0)
+    )
+    same = ids[:, :, None] == ids[:, None, :]
+    is_dup = jnp.any(same & earlier[None] & (ids >= 0)[:, :, None], axis=2)
+    scores = jnp.where(is_dup, NEG_INF, scores)
+    ids = jnp.where(is_dup, -1, ids)
+    kfin = min(k, pool)
+    scores, order = lax.top_k(scores, kfin)
+    ids = jnp.take_along_axis(ids, order, axis=1)
+    ids = jnp.where(scores == NEG_INF, -1, ids)
+    if kfin < k:
+        scores = jnp.pad(scores, ((0, 0), (0, k - kfin)), constant_values=NEG_INF)
+        ids = jnp.pad(ids, ((0, 0), (0, k - kfin)), constant_values=-1)
+    return scores, ids

@@ -101,6 +101,16 @@ class IndexBuildParams:
     # Split clusters above ~1.5x mean size at build so slab padding (set by
     # the largest partition) stays bounded. May grow nlist slightly.
     balance_partitions: bool = True
+    # SOAR spilled assignment (beyond the reference; ScaNN's SOAR,
+    # NeurIPS'23): every vector is resident in its primary partition AND one
+    # secondary partition chosen to keep the two residuals orthogonal
+    # (soar_lambda weights the orthogonality penalty; 0 = plain 2nd
+    # nearest). Memory doubles; recall per probed partition rises, so the
+    # same recall needs fewer probes. Search dedups the copies. v1 limits:
+    # cost-based maintenance (split/delete) and mesh sharding are disabled
+    # on spilled indexes.
+    spill: bool = False
+    soar_lambda: float = 1.0
     # Build-time split threshold as a multiple of the mean partition size:
     # the padded slab capacity C (and so every scan's lane count) tracks the
     # LARGEST partition, so a tighter factor trades a few % more partitions

@@ -260,6 +260,11 @@ class PartitionStore:
         self.free_rows: list[int] = []
         self.generation: np.ndarray | None = None  # [P] int64
         self.id_map = make_id_map()  # native C++ map, dict fallback
+        self.spill_map = None  # second residency map when SOAR spill is on
+
+    @property
+    def spill(self) -> bool:
+        return self.spill_map is not None
 
     # -- properties ---------------------------------------------------------
 
@@ -293,10 +298,21 @@ class PartitionStore:
 
     # -- construction --------------------------------------------------------
 
-    def init_from_assignments(self, x, vids, centroids, assignments):
+    def init_from_assignments(self, x, vids, centroids, assignments,
+                              spill_assignments=None):
+        """spill_assignments: optional [n] secondary partition per vector
+        (SOAR spill) — every vector is stored twice; id_map tracks the
+        primary copy, spill_map the secondary; ntotal stays logical."""
         x = np.asarray(x)
         vids_np = to_i64(vids)
         assigns_np = np.asarray(assignments)
+        if spill_assignments is not None:
+            spill_np = np.asarray(spill_assignments)
+            n_logical = len(vids_np)
+            x = np.concatenate([x, x])
+            vids_np = np.concatenate([vids_np, vids_np])
+            assigns_np = np.concatenate([assigns_np, spill_np]).astype(
+                assigns_np.dtype)
         nlist = int(np.asarray(centroids).shape[0])
         counts = np.bincount(assigns_np, minlength=nlist)
         # Round capacity to a 128-row tile multiple (not pow2): with
@@ -319,8 +335,17 @@ class PartitionStore:
         )
         self.free_rows = list(range(nlist, P))[::-1]
         self.generation = np.zeros(P, dtype=np.int64)
-        self.id_map = make_id_map(len(vids_np))
-        self.id_map.set_batch(vids_np, assigns_np.astype(np.int32))
+        if spill_assignments is not None:
+            self.id_map = make_id_map(n_logical)
+            self.id_map.set_batch(
+                vids_np[:n_logical], assigns_np[:n_logical].astype(np.int32))
+            self.spill_map = make_id_map(n_logical)
+            self.spill_map.set_batch(
+                vids_np[n_logical:], assigns_np[n_logical:].astype(np.int32))
+        else:
+            self.id_map = make_id_map(len(vids_np))
+            self.id_map.set_batch(vids_np, assigns_np.astype(np.int32))
+            self.spill_map = None
 
     def init_single_partition(self, x, vids):
         """Flat-index mode: one partition 0 holding everything
@@ -352,8 +377,19 @@ class PartitionStore:
             [self.generation, np.zeros(new_P - old_P, dtype=np.int64)]
         )
 
-    def append(self, rows: np.ndarray, vecs: np.ndarray, vids: np.ndarray):
-        """Append vectors to rows (already validated/assigned)."""
+    def append(self, rows: np.ndarray, vecs: np.ndarray, vids: np.ndarray,
+               spill_rows: np.ndarray = None):
+        """Append vectors to rows (already validated/assigned).
+
+        spill_rows: secondary partition per vector (SOAR spill stores) — the
+        vectors are appended twice; spill_map tracks the second copy."""
+        if spill_rows is not None:
+            self._append_one(np.asarray(spill_rows), vecs, vids,
+                             self.spill_map)
+        self._append_one(rows, vecs, vids, self.id_map)
+
+    def _append_one(self, rows: np.ndarray, vecs: np.ndarray,
+                    vids: np.ndarray, id_map):
         n = len(rows)
         counts = np.bincount(rows[rows >= 0], minlength=self.P)
         self.ensure_capacity(counts)
@@ -368,17 +404,23 @@ class PartitionStore:
             self.state, jnp.asarray(rows_p), jnp.asarray(vecs_p), jnp.asarray(vids_p)
         )
         ok = rows[:n] >= 0
-        self.id_map.set_batch(np.asarray(vids[:n])[ok], rows[:n][ok].astype(np.int32))
+        id_map.set_batch(np.asarray(vids[:n])[ok], rows[:n][ok].astype(np.int32))
 
     def remove(self, vids: np.ndarray) -> int:
-        """Remove vector ids. Routes to only the affected rows via id_to_row."""
+        """Remove vector ids. Routes to only the affected rows via id_to_row.
+        Spilled stores remove BOTH copies (the value-matched compaction
+        covers every affected partition in one pass)."""
         vids = to_i64(vids)
         lookup = self.id_map.get_batch(vids)
         present_mask = lookup >= 0
         present = vids[present_mask]
         if len(present) == 0:
             return 0
-        rows = np.unique(lookup[present_mask])
+        rows = lookup[present_mask]
+        if self.spill_map is not None:
+            lookup2 = self.spill_map.get_batch(vids)
+            rows = np.concatenate([rows, lookup2[lookup2 >= 0]])
+        rows = np.unique(rows)
         mb = _bucket(len(rows))
         rows_p = np.full(mb, -1, np.int32)
         rows_p[: len(rows)] = rows
@@ -389,13 +431,21 @@ class PartitionStore:
             self.state, jnp.asarray(rows_p), jnp.asarray(rem)
         )
         self.id_map.erase_batch(present)
+        if self.spill_map is not None:
+            self.spill_map.erase_batch(present)
         return len(present)
 
     def update_vectors(self, vids: np.ndarray, vecs: np.ndarray):
-        """Overwrite resident vectors by id (used by parent.modify)."""
+        """Overwrite resident vectors by id (used by parent.modify).
+        Spilled stores update both copies."""
         vids = to_i64(vids)
+        if self.spill_map is not None:
+            self._update_one(vids, vecs, self.spill_map)
+        self._update_one(vids, vecs, self.id_map)
+
+    def _update_one(self, vids: np.ndarray, vecs: np.ndarray, id_map):
         m = len(vids)
-        rows = self.id_map.get_batch(vids)
+        rows = id_map.get_batch(vids)
         b = _bucket(m)
         rows_p = np.full(b, -1, np.int32)
         rows_p[:m] = rows

@@ -228,3 +228,55 @@ def test_v4_kernels_interpret_match_xla(metric, variant_name):
     np.testing.assert_array_equal(np.asarray(n1), np.asarray(n2))
     for b in range(B):
         assert set(np.asarray(i1)[b].tolist()) == set(np.asarray(i2)[b].tolist())
+
+
+@pytest.mark.parametrize("metric", ["l2", "ip"])
+def test_dedup_spilled_store(metric):
+    """Spilled store: each vector resident in TWO partitions. With
+    dedup=True the top-k must contain each id at most once and match a
+    brute-force oracle over the probed partitions' distinct vectors."""
+    from quake_tpu.ops.pallas_grouped import grouped_scan_pallas_v3pn
+
+    rng = np.random.default_rng(5)
+    P, C, D, B, k, qt = 6, 64, 16, 8, 5, 8
+    nvec = P * C // 4
+    vecs = rng.standard_normal((nvec, D)).astype(np.float32)
+    a1 = rng.integers(0, P, nvec)
+    a2 = (a1 + 1 + rng.integers(0, P - 1, nvec)) % P  # different partition
+    codes = np.zeros((P, C, D), np.float32)
+    ids = np.full((P, C), -1, np.int32)
+    sizes = np.zeros(P, np.int32)
+    for v in range(nvec):
+        for p in (a1[v], a2[v]):
+            codes[p, sizes[p]] = vecs[v]
+            ids[p, sizes[p]] = v
+            sizes[p] += 1
+    norms = (codes ** 2).sum(axis=2)
+    q = rng.standard_normal((B, D)).astype(np.float32)
+    pids = np.stack([rng.permutation(P)[:4] for _ in range(B)]).astype(np.int32)
+
+    s2, i2, _ = grouped_scan_pallas_v3pn(
+        jnp.asarray(codes), jnp.asarray(ids), jnp.asarray(sizes),
+        jnp.asarray(norms), jnp.asarray(q), jnp.asarray(pids), k, metric,
+        qt=qt, gpb=2, dedup=True, interpret=True)
+    s3, i3, _ = grouped_scan_xla(
+        jnp.asarray(codes), jnp.asarray(ids), jnp.asarray(q),
+        jnp.asarray(pids), k, metric, qt=qt, group_chunk=4,
+        norms=jnp.asarray(norms), dedup=True)
+    i2, i3 = np.asarray(i2), np.asarray(i3)
+    for b in range(B):
+        # no duplicates among valid ids
+        valid = i2[b][i2[b] >= 0]
+        assert len(valid) == len(set(valid.tolist()))
+        # oracle: distinct vectors in probed partitions
+        cand = set()
+        for p in pids[b]:
+            cand.update(ids[p, :sizes[p]].tolist())
+        cand = np.array(sorted(cand))
+        if metric == "l2":
+            d2 = ((vecs[cand] - q[b]) ** 2).sum(1)
+            want = cand[np.argsort(d2)[:k]]
+        else:
+            want = cand[np.argsort(-(vecs[cand] @ q[b]))[:k]]
+        assert set(valid.tolist()) == set(want.tolist()), b
+        assert set(i3[b][i3[b] >= 0].tolist()) == set(want.tolist()), b

@@ -1,0 +1,131 @@
+"""SOAR spilled assignment (IndexBuildParams.spill — beyond the reference):
+two-residency invariants, dedup'd search quality, mutations, persistence."""
+
+import tempfile
+
+import numpy as np
+import pytest
+
+from quake_tpu import IndexBuildParams, QuakeIndex, SearchParams
+from quake_tpu.utils import compute_recall, knn
+
+
+@pytest.fixture(scope="module")
+def spill_index():
+    rng = np.random.default_rng(11)
+    n, d = 6000, 32
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    ids = np.arange(n, dtype=np.int64)
+    idx = QuakeIndex()
+    idx.build(x, ids, IndexBuildParams(nlist=32, metric="l2", spill=True))
+    return idx, x, ids
+
+
+def test_spill_two_residency_and_logical_ntotal(spill_index):
+    idx, x, ids = spill_index
+    n = len(ids)
+    assert idx.ntotal() == n  # logical, not physical
+    assert idx.validate()
+    sizes = np.asarray(idx.store.state.sizes)
+    assert sizes.sum() == 2 * n
+    # Each id appears exactly twice, in two DIFFERENT partitions.
+    sid = np.asarray(idx.store.state.ids)
+    rows, _ = np.nonzero(sid >= 0)
+    flat = sid[sid >= 0]
+    by_id = {}
+    for r, i in zip(rows, flat):
+        by_id.setdefault(int(i), []).append(int(r))
+    assert all(len(v) == 2 and v[0] != v[1] for v in by_id.values())
+
+
+def test_spill_search_no_dups_and_better_recall_per_probe(spill_index):
+    idx, x, ids = spill_index
+    rng = np.random.default_rng(12)
+    q = rng.standard_normal((64, x.shape[1])).astype(np.float32)
+    gt, _ = knn(q, x, 10, "l2")
+
+    res = idx.search(q, SearchParams(k=10, nprobe=6))
+    rid = np.asarray(res.ids)
+    for b in range(rid.shape[0]):
+        valid = rid[b][rid[b] >= 0]
+        assert len(valid) == len(set(valid.tolist()))
+    r_spill = compute_recall(rid, gt, 10)
+
+    # Single-assignment baseline at the same nprobe (same data/nlist).
+    base = QuakeIndex()
+    base.build(x, ids, IndexBuildParams(nlist=32, metric="l2"))
+    r_base = compute_recall(
+        np.asarray(base.search(q, SearchParams(k=10, nprobe=6)).ids), gt, 10)
+    assert r_spill > r_base  # the point of spilling
+    # Full probe stays exact.
+    r_full = compute_recall(
+        np.asarray(idx.search(q, SearchParams(k=10, nprobe=32)).ids), gt, 10)
+    assert r_full >= 0.999
+
+
+def test_spill_add_remove_both_copies():
+    rng = np.random.default_rng(13)
+    n, d = 4000, 24
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    idx = QuakeIndex()
+    idx.build(x, np.arange(n, dtype=np.int64),
+              IndexBuildParams(nlist=16, metric="l2", spill=True))
+    x2 = rng.standard_normal((100, d)).astype(np.float32)
+    idx.add(x2, np.arange(n, n + 100, dtype=np.int64))
+    assert idx.ntotal() == n + 100
+    assert np.asarray(idx.store.state.sizes).sum() == 2 * (n + 100)
+    assert idx.validate()
+
+    idx.remove(np.arange(50, dtype=np.int64))
+    assert idx.ntotal() == n + 100 - 50
+    sid = np.asarray(idx.store.state.ids)
+    assert not np.isin(sid[sid >= 0], np.arange(50)).any()  # both copies gone
+    assert idx.validate()
+
+    # Removed ids are re-addable; duplicates still rejected.
+    idx.add(x[:10], np.arange(10, dtype=np.int64))
+    with pytest.raises(ValueError):
+        idx.add(x[:1], np.array([100], dtype=np.int64))
+    # get() returns the vector.
+    np.testing.assert_allclose(idx.get(np.array([100]))[0], x[100], rtol=1e-6)
+
+
+def test_spill_save_load_roundtrip(spill_index):
+    idx, x, ids = spill_index
+    rng = np.random.default_rng(14)
+    q = rng.standard_normal((16, x.shape[1])).astype(np.float32)
+    before = idx.search(q, SearchParams(k=10, nprobe=6))
+    with tempfile.TemporaryDirectory() as d:
+        idx.save(d)
+        idx2 = QuakeIndex()
+        idx2.load(d)
+        assert idx2.spill and idx2.ntotal() == idx.ntotal()
+        after = idx2.search(q, SearchParams(k=10, nprobe=6))
+        np.testing.assert_array_equal(np.asarray(before.ids),
+                                      np.asarray(after.ids))
+        # remove through the reloaded maps kills both copies
+        idx2.remove(np.asarray(before.ids)[0, :3])
+        sid = np.asarray(idx2.store.state.ids)
+        assert not np.isin(sid[sid >= 0], np.asarray(before.ids)[0, :3]).any()
+
+
+def test_spill_aps_adherence_and_maintenance_noop(spill_index):
+    idx, x, ids = spill_index
+    rng = np.random.default_rng(15)
+    q = rng.standard_normal((32, x.shape[1])).astype(np.float32)
+    gt, _ = knn(q, x, 10, "l2")
+    res = idx.search(q, SearchParams(k=10, recall_target=0.8,
+                                     initial_search_fraction=0.5))
+    rid = np.asarray(res.ids)
+    for b in range(rid.shape[0]):
+        valid = rid[b][rid[b] >= 0]
+        assert len(valid) == len(set(valid.tolist()))
+    assert compute_recall(rid, gt, 10) >= 0.75
+    info = idx.maintenance()  # documented no-op for spilled indexes
+    assert info.total_time_us == 0
+
+
+def test_spill_shard_rejected(spill_index):
+    idx, _, _ = spill_index
+    with pytest.raises(NotImplementedError):
+        idx.shard(2)
