@@ -222,6 +222,29 @@ def grouped_scan(codes, ids, sizes, norms, q, pids, k: int, metric: str,
     "v4cCT[gGPB]" spelling pins the chunk/groups-per-step, e.g. "v4c512g8").
     All return (scores [B,k], ids [B,k], scanned [B]).
     """
+    if kernel.startswith("v5") or kernel.startswith("v6"):
+        from quake_tpu.ops.pallas_grouped import (
+            grouped_scan_pallas_v5,
+            grouped_scan_pallas_v6,
+        )
+
+        fn = (grouped_scan_pallas_v6 if kernel.startswith("v6")
+              else grouped_scan_pallas_v5)
+        C = codes.shape[1]
+        ct, gpb = 0, 4
+        if len(kernel) > 2:  # v6cCT or v6cCTgGPB
+            spec = kernel[3:]
+            if "g" in spec:
+                cts, gs = spec.split("g")
+                ct, gpb = int(cts), int(gs)
+            else:
+                ct = int(spec)
+        if not ct or C % ct:
+            # Largest preferred chunk that divides the store's bucketed C;
+            # fall back to whole-slab (ct=C) when nothing divides.
+            ct = next((c for c in (512, 384, 256, 128) if C % c == 0), C)
+        return fn(codes, ids, sizes, norms, q, pids,
+                  k, metric, qt=qt, ct=ct, gpb=gpb, dedup=dedup)
     if kernel.startswith("v4"):
         from quake_tpu.ops.pallas_grouped import grouped_scan_pallas_v4
 
@@ -235,8 +258,6 @@ def grouped_scan(codes, ids, sizes, norms, q, pids, k: int, metric: str,
             else:
                 ct = int(spec)
         if not ct or C % ct:
-            # Largest preferred chunk that divides the store's bucketed C;
-            # fall back to whole-slab (ct=C) when nothing divides.
             ct = next((c for c in (512, 384, 256, 128) if C % c == 0), C)
         return grouped_scan_pallas_v4(codes, ids, sizes, norms, q, pids,
                                       k, metric, qt=qt, ct=ct, gpb=gpb)

@@ -305,7 +305,12 @@ def _v3p_group_body(qg, slab, s_sq, size, metric: str, k: int,
         preferred_element_type=jnp.float32,
     )
     scores = 2.0 * prod - s_sq[None, :] if metric == "l2" else prod
+    return _v3p_select(scores, size, k, slot_mult, levels)
 
+
+def _v3p_select(scores, size, k: int, slot_mult: int, levels: int):
+    """Packed selection over a precomputed [QT, C] score matrix (lanes >=
+    size invalid). Returns (packed [QT, k], stats [QT, 2])."""
     QT, C = scores.shape
     lane = jax.lax.broadcasted_iota(jnp.int32, (QT, C), 1)
     valid = lane < size
@@ -792,6 +797,323 @@ def grouped_scan_pallas_v4(codes, ids, sizes, norms, q, pids, k: int,
     m_refs = rf.reshape(Bq, -1)
     return _rescore_topk(m_scores, m_refs, codes, ids, norms, q, k, kk,
                          metric, pids)
+
+
+def _v5_kernel(metric: str, k: int, slot_mult: int, levels: int, gpb: int,
+               maxch: int, ct: int):
+    """v5: size-aware chunked scan with IN-KERNEL cross-chunk merge.
+
+    Versus v4 (whose chunk-groups forced a [B, nprobe, maxch*k] stage-1
+    lax.top_k in XLA — 13-14ms on its own): the grid stays GROUP-major, each
+    group's chunks arrive through static per-chunk BlockSpecs, every chunk
+    runs the packed v3p selection over [qt, ct], is dequantized in-kernel
+    ([qt, k] scalar math), and a short exact merge over the [qt, maxch*k]
+    candidates emits one [qt, k] (score, slot) result per group — the
+    epilogue is v3-shaped (single [B, nprobe*k] merge + shared rescore).
+    Chunks past ceil(size/ct) skip compute via pl.when (their DMA re-fetches
+    the last valid chunk — bounded waste; the VPU work tracks real rows).
+    """
+
+    def kernel(group_pid_ref, group_size_ref, qg_ref, *refs):
+        slab_refs = refs[:gpb * maxch]  # [j*maxch + c]
+        norms_refs = refs[gpb * maxch:2 * gpb * maxch]
+        out_s_ref = refs[2 * gpb * maxch]
+        out_i_ref = refs[2 * gpb * maxch + 1]
+        g = pl.program_id(0)
+        mk = maxch * k
+        for j in range(gpb):
+            size = group_size_ref[gpb * g + j]
+
+            def group_body(j=j, size=size):
+                qg = qg_ref[j]
+                QT = qg.shape[0]
+                lane_mk = jax.lax.broadcasted_iota(jnp.int32, (QT, mk), 1)
+                cand_s = jnp.full((QT, mk), NEG_INF, jnp.float32)
+                cand_slot = jnp.full((QT, mk), -1, jnp.int32)
+                for c in range(maxch):
+                    csize = jnp.clip(size - c * ct, 0, ct)
+                    packed, stats = _v3p_group_body(
+                        qg, slab_refs[j * maxch + c][0],
+                        norms_refs[j * maxch + c][0, 0, 0],
+                        csize, metric, k, slot_mult, levels,
+                    )
+                    valid = packed >= 0.0
+                    slot_loc = jnp.mod(packed, float(slot_mult))
+                    key = jnp.floor(packed / float(slot_mult))
+                    s = stats[:, 0:1] + key * (stats[:, 1:2] / float(levels))
+                    s = jnp.where(valid, s, NEG_INF)
+                    gslot = jnp.where(
+                        valid, c * ct + slot_loc.astype(jnp.int32), -1)
+                    # Place this chunk's k candidates at lanes [c*k,(c+1)*k).
+                    s_p = jnp.pad(
+                        s, ((0, 0), (c * k, (maxch - 1 - c) * k)),
+                        constant_values=NEG_INF)
+                    g_p = jnp.pad(
+                        gslot, ((0, 0), (c * k, (maxch - 1 - c) * k)),
+                        constant_values=-1)
+                    sel = (lane_mk >= c * k) & (lane_mk < (c + 1) * k)
+                    cand_s = jnp.where(sel, s_p, cand_s)
+                    cand_slot = jnp.where(sel, g_p, cand_slot)
+
+                # Exact k-round merge over the [QT, maxch*k] candidates
+                # (slots are unique; ~6 tiny passes per round).
+                out_lane = jax.lax.broadcasted_iota(jnp.int32, (QT, k), 1)
+
+                def select_round(i, carry):
+                    cs, cslot, outv, outi = carry
+                    best = jnp.max(cs, axis=1, keepdims=True)
+                    best_slot = jnp.max(
+                        jnp.where(cs == best, cslot, -1), axis=1,
+                        keepdims=True)
+                    winner = (cs == best) & (cslot == best_slot)
+                    sel = out_lane == i
+                    outv = jnp.where(sel, best, outv)
+                    outi = jnp.where(
+                        sel, jnp.where(best == NEG_INF, -1, best_slot), outi)
+                    return (
+                        jnp.where(winner, NEG_INF, cs), cslot, outv, outi)
+
+                init = (
+                    cand_s, cand_slot,
+                    jnp.full((QT, k), NEG_INF, jnp.float32),
+                    jnp.full((QT, k), -1, jnp.int32),
+                )
+                _, _, outv, outi = lax.fori_loop(0, k, select_round, init)
+                out_s_ref[j] = outv
+                out_i_ref[j] = outi
+
+            pl.when(size > 0)(group_body)
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "metric", "qt", "ct", "gpb", "dedup", "interpret"),
+)
+def grouped_scan_pallas_v5(codes, ids, sizes, norms, q, pids, k: int,
+                           metric: str, qt: int = 32, ct: int = 512,
+                           gpb: int = 4, dedup: bool = False,
+                           interpret: bool = False):
+    """Size-aware chunked grouped scan with in-kernel cross-chunk merge
+    (see _v5_kernel). Same inputs/returns/semantics as
+    grouped_scan_pallas_v3pn; requires C % ct == 0 (callers pick ct from the
+    store's tile-bucketed C; ct=C degenerates to whole-slab)."""
+    B, D = q.shape
+    P, C, _ = codes.shape
+    if P >= 32768 or C > 65536:
+        raise ValueError("v5 packs (pid, slot) into int32: needs P < 32768, C <= 65536")
+    if C % ct:
+        raise ValueError(f"v5 needs C % ct == 0 (C={C}, ct={ct})")
+    maxch = C // ct
+    kk = min(k, ct)
+    slot_mult = max(1 << (int(ct - 1).bit_length()), 2)
+    levels = (1 << 24) // slot_mult - 2
+    group_pid, qlist, pair_group, pair_slot = build_groups(pids, P, qt)
+    G = group_pid.shape[0]
+    Gn = -(-G // gpb) * gpb
+    gp = jnp.pad(group_pid, (0, Gn - G), constant_values=-1)
+    ql = jnp.pad(qlist, ((0, Gn - G), (0, 0)), constant_values=-1)
+    group_size = jnp.where(gp >= 0, sizes[jnp.maximum(gp, 0)], 0).astype(jnp.int32)
+    safe_q = jnp.where(ql >= 0, ql, 0)
+    qg = q.astype(codes.dtype)[safe_q]  # [Gn, QT, D]
+
+    def slab_spec(j, c):
+        def imap(g, gp_, gs_):
+            pid = jnp.maximum(gp_[gpb * g + j], 0)
+            nch_last = jnp.maximum((gs_[gpb * g + j] + ct - 1) // ct - 1, 0)
+            return (pid, jnp.minimum(c, nch_last), 0)
+
+        return pl.BlockSpec((1, ct, D), imap)
+
+    def norms_spec(j, c):
+        def imap(g, gp_, gs_):
+            pid = jnp.maximum(gp_[gpb * g + j], 0)
+            nch_last = jnp.maximum((gs_[gpb * g + j] + ct - 1) // ct - 1, 0)
+            return (pid, jnp.minimum(c, nch_last), 0, 0)
+
+        return pl.BlockSpec((1, 1, 1, ct), imap)
+
+    kernel = _v5_kernel(metric, kk, slot_mult, levels, gpb, maxch, ct)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(Gn // gpb,),
+        in_specs=(
+            [pl.BlockSpec((gpb, qt, D), lambda g, *_: (g, 0, 0))]
+            + [slab_spec(j, c) for j in range(gpb) for c in range(maxch)]
+            + [norms_spec(j, c) for j in range(gpb) for c in range(maxch)]
+        ),
+        out_specs=[
+            pl.BlockSpec((gpb, qt, kk), lambda g, *_: (g, 0, 0)),
+            pl.BlockSpec((gpb, qt, kk), lambda g, *_: (g, 0, 0)),
+        ],
+    )
+    out_shape = [
+        jax.ShapeDtypeStruct((Gn, qt, kk), jnp.float32),
+        jax.ShapeDtypeStruct((Gn, qt, kk), jnp.int32),
+    ]
+    norms4 = norms.reshape(P, maxch, 1, ct)
+    nmc = gpb * maxch
+    g_scores, g_slots = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(gp, group_size, qg, *([codes] * nmc), *([norms4] * nmc))
+
+    # Slim v3-style epilogue: q_sq shift, refs, single merge, shared rescore.
+    alive = group_size > 0
+    valid = (g_slots >= 0) & alive[:, None, None]
+    if metric == "l2":
+        qf = q.astype(jnp.float32)
+        q_sq = jnp.sum(qf * qf, axis=1)
+        g_scores = g_scores - q_sq[safe_q][:, :, None]
+    g_scores = jnp.where(valid, g_scores, NEG_INF)
+    refs = jnp.where(
+        valid, (jnp.maximum(gp, 0)[:, None, None] << 16) | g_slots, -1)
+    Bq = B
+    ok = pair_group >= 0
+    pg = jnp.where(ok, pair_group, 0)
+    m_scores = jnp.where(
+        ok[:, :, None], g_scores[pg, pair_slot], NEG_INF).reshape(Bq, -1)
+    m_refs = jnp.where(ok[:, :, None], refs[pg, pair_slot], -1).reshape(Bq, -1)
+    return _rescore_topk(m_scores, m_refs, codes, ids, norms, q, k, kk,
+                         metric, pids, dedup=dedup)
+
+
+def _v6_kernel(metric: str, k: int, slot_mult: int, levels: int, gpb: int,
+               maxch: int, ct: int, C: int):
+    """v6: chunked fetch+matmul, SINGLE whole-row selection.
+
+    ab12's lesson: selection cost tracks ROUND COUNT, not lane width — v5's
+    per-chunk top-k (maxch*k rounds) lost 2x despite scanning fewer lanes,
+    while its k=1 floor beat v3pn's (chunked DMA/matmul savings are real).
+    v6 keeps the chunked BlockSpecs (chunks past ceil(size/ct) re-fetch the
+    last valid chunk and skip compute) but assembles the chunk scores into a
+    [qt, C] VMEM scratch with static column-slice stores, then runs v3pn's
+    ONE k-round packed selection over the full row."""
+
+    def kernel(group_pid_ref, group_size_ref, qg_ref, *refs):
+        slab_refs = refs[:gpb * maxch]  # [j*maxch + c]
+        norms_refs = refs[gpb * maxch:2 * gpb * maxch]
+        out_ref = refs[2 * gpb * maxch]
+        stats_ref = refs[2 * gpb * maxch + 1]
+        scratch = refs[2 * gpb * maxch + 2]  # [qt, C] f32
+        g = pl.program_id(0)
+        for j in range(gpb):
+            size = group_size_ref[gpb * g + j]
+
+            def group_body(j=j, size=size):
+                qg = qg_ref[j]
+                for c in range(maxch):
+                    csize = jnp.clip(size - c * ct, 0, ct)
+
+                    def chunk_body(c=c, csize=csize, qg=qg):
+                        prod = jax.lax.dot_general(
+                            qg, slab_refs[j * maxch + c][0],
+                            dimension_numbers=(((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                        )  # [qt, ct]
+                        if metric == "l2":
+                            sc = 2.0 * prod - norms_refs[j * maxch + c][0, 0, 0][None, :]
+                        else:
+                            sc = prod
+                        scratch[:, c * ct:(c + 1) * ct] = sc
+
+                    def chunk_clear(c=c):
+                        scratch[:, c * ct:(c + 1) * ct] = jnp.full(
+                            (qg.shape[0], ct), NEG_INF, jnp.float32)
+
+                    pl.when(csize > 0)(chunk_body)
+                    pl.when(csize <= 0)(chunk_clear)
+                out, stats = _v3p_select(
+                    scratch[...], size, k, slot_mult, levels)
+                out_ref[j] = out
+                stats_ref[j] = stats
+
+            pl.when(size > 0)(group_body)
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "metric", "qt", "ct", "gpb", "dedup", "interpret"),
+)
+def grouped_scan_pallas_v6(codes, ids, sizes, norms, q, pids, k: int,
+                           metric: str, qt: int = 32, ct: int = 512,
+                           gpb: int = 4, dedup: bool = False,
+                           interpret: bool = False):
+    """Chunked-fetch single-selection grouped scan (see _v6_kernel). Same
+    inputs/returns/semantics as grouped_scan_pallas_v3pn; requires
+    C % ct == 0."""
+    B, D = q.shape
+    P, C, _ = codes.shape
+    if P >= 32768 or C > 65536:
+        raise ValueError("v6 packs (pid, slot) into int32: needs P < 32768, C <= 65536")
+    if C % ct:
+        raise ValueError(f"v6 needs C % ct == 0 (C={C}, ct={ct})")
+    maxch = C // ct
+    kk = min(k, C)
+    slot_mult = max(1 << (int(C - 1).bit_length()), 2)
+    levels = (1 << 24) // slot_mult - 2
+    group_pid, qlist, pair_group, pair_slot = build_groups(pids, P, qt)
+    G = group_pid.shape[0]
+    Gn = -(-G // gpb) * gpb
+    gp = jnp.pad(group_pid, (0, Gn - G), constant_values=-1)
+    ql = jnp.pad(qlist, ((0, Gn - G), (0, 0)), constant_values=-1)
+    group_size = jnp.where(gp >= 0, sizes[jnp.maximum(gp, 0)], 0).astype(jnp.int32)
+    safe_q = jnp.where(ql >= 0, ql, 0)
+    qg = q.astype(codes.dtype)[safe_q]  # [Gn, QT, D]
+
+    def slab_spec(j, c):
+        def imap(g, gp_, gs_):
+            pid = jnp.maximum(gp_[gpb * g + j], 0)
+            nch_last = jnp.maximum((gs_[gpb * g + j] + ct - 1) // ct - 1, 0)
+            return (pid, jnp.minimum(c, nch_last), 0)
+
+        return pl.BlockSpec((1, ct, D), imap)
+
+    def norms_spec(j, c):
+        def imap(g, gp_, gs_):
+            pid = jnp.maximum(gp_[gpb * g + j], 0)
+            nch_last = jnp.maximum((gs_[gpb * g + j] + ct - 1) // ct - 1, 0)
+            return (pid, jnp.minimum(c, nch_last), 0, 0)
+
+        return pl.BlockSpec((1, 1, 1, ct), imap)
+
+    kernel = _v6_kernel(metric, kk, slot_mult, levels, gpb, maxch, ct, C)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(Gn // gpb,),
+        in_specs=(
+            [pl.BlockSpec((gpb, qt, D), lambda g, *_: (g, 0, 0))]
+            + [slab_spec(j, c) for j in range(gpb) for c in range(maxch)]
+            + [norms_spec(j, c) for j in range(gpb) for c in range(maxch)]
+        ),
+        out_specs=[
+            pl.BlockSpec((gpb, qt, kk), lambda g, *_: (g, 0, 0)),
+            pl.BlockSpec((gpb, qt, 2), lambda g, *_: (g, 0, 0)),
+        ],
+        scratch_shapes=[pltpu.VMEM((qt, C), jnp.float32)],
+    )
+    out_shape = [
+        jax.ShapeDtypeStruct((Gn, qt, kk), jnp.float32),
+        jax.ShapeDtypeStruct((Gn, qt, 2), jnp.float32),
+    ]
+    norms4 = norms.reshape(P, maxch, 1, ct)
+    nmc = gpb * maxch
+    g_packed, g_stats = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(gp, group_size, qg, *([codes] * nmc), *([norms4] * nmc))
+    return _v3p_epilogue(
+        g_packed, g_stats, gp, pair_group, pair_slot, pids, safe_q,
+        codes, ids, norms, q, k, kk, metric, slot_mult, levels,
+        alive=group_size > 0, dedup=dedup,
+    )
 
 
 def _scores_kernel(metric: str):

@@ -280,3 +280,46 @@ def test_dedup_spilled_store(metric):
             want = cand[np.argsort(-(vecs[cand] @ q[b]))[:k]]
         assert set(valid.tolist()) == set(want.tolist()), b
         assert set(i3[b][i3[b] >= 0].tolist()) == set(want.tolist()), b
+
+
+@pytest.mark.parametrize("metric", ["l2", "ip"])
+def test_v5_kernel_interpret_matches_xla(metric):
+    """v5 (size-aware chunks + in-kernel cross-chunk merge) and v6 (chunked
+    fetch, single selection): parity with the XLA backend incl. poisoned
+    pads and empty partitions."""
+    from quake_tpu.ops.pallas_grouped import (
+        grouped_scan_pallas_v5,
+        grouped_scan_pallas_v6,
+    )
+
+    rng = np.random.default_rng(6)
+    P, C, D, B, nprobe, k, qt, ct = 8, 128, 16, 12, 3, 5, 8, 32
+    codes = rng.standard_normal((P, C, D)).astype(np.float32)
+    ids = np.arange(P * C, dtype=np.int32).reshape(P, C)
+    sizes = np.zeros(P, np.int32)
+    for p in range(P):
+        sizes[p] = rng.integers(0, C + 1)
+        ids[p, sizes[p]:] = -1
+        codes[p, sizes[p]:] = 10.0  # poison
+    norms = (codes.astype(np.float32) ** 2).sum(axis=2)
+    q = rng.standard_normal((B, D)).astype(np.float32)
+    pids = rng.integers(0, P, (B, nprobe)).astype(np.int32)
+    pids[0, 1:] = -1
+
+    clean = codes.copy()
+    for p in range(P):
+        clean[p, sizes[p]:] = 0.0
+    s1, i1, n1 = grouped_scan_xla(
+        jnp.asarray(clean), jnp.asarray(ids), jnp.asarray(q), jnp.asarray(pids),
+        k, metric, qt=qt, group_chunk=4,
+    )
+    for variant in (grouped_scan_pallas_v5, grouped_scan_pallas_v6):
+        s2, i2, n2 = variant(
+            jnp.asarray(codes), jnp.asarray(ids), jnp.asarray(sizes),
+            jnp.asarray(norms), jnp.asarray(q), jnp.asarray(pids), k, metric,
+            qt=qt, ct=ct, gpb=3, interpret=True)
+        np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), rtol=1e-4,
+                                   atol=1e-4)
+        np.testing.assert_array_equal(np.asarray(n1), np.asarray(n2))
+        for b in range(B):
+            assert set(np.asarray(i1)[b].tolist()) == set(np.asarray(i2)[b].tolist())
