@@ -11,10 +11,19 @@ from __future__ import annotations
 import argparse
 import csv
 import json
+import os
 from pathlib import Path
 
 import numpy as np
 import yaml
+
+if os.environ.get("JAX_PLATFORMS", "").strip() == "cpu":
+    # Honor an explicit CPU request even when a sitecustomize pins the TPU
+    # backend at interpreter start (the env var alone is not enough there;
+    # see CLAUDE.md "Environment gotchas").
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
 
 
 def run(config_path: str, output_root: str = "regression_results", name: str = "run"):
