@@ -163,6 +163,11 @@ class QuakeIndex:
             )
         else:
             # Flat: one partition holding everything (quake_index.cpp:68-79).
+            if bp.spill:
+                raise ValueError(
+                    "spill requires an IVF index (nlist > 1): a flat index "
+                    "scans everything, so a second residency adds cost only"
+                )
             self.store.init_single_partition(x, ids)
 
         # Spilled stores skip calibration: the flat ground truth would hold

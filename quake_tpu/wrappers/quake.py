@@ -32,6 +32,8 @@ class QuakeWrapper(IndexWrapper):
         code_size: int = -1,
         niter: int = 5,
         num_shards: int = 0,
+        spill: bool = False,  # SOAR spilled assignment (TPU extension)
+        soar_lambda: float = 1.0,
     ):
         vectors = to_f32(vectors)
         params = IndexBuildParams(
@@ -40,6 +42,8 @@ class QuakeWrapper(IndexWrapper):
             niter=niter,
             num_workers=num_workers,
             num_shards=num_shards,
+            spill=spill,
+            soar_lambda=soar_lambda,
         )
         self.index = QuakeIndex()
         return self.index.build(vectors, ids, params)

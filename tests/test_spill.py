@@ -129,3 +129,11 @@ def test_spill_shard_rejected(spill_index):
     idx, _, _ = spill_index
     with pytest.raises(NotImplementedError):
         idx.shard(2)
+
+
+def test_spill_requires_ivf():
+    rng = np.random.default_rng(16)
+    x = rng.standard_normal((100, 8)).astype(np.float32)
+    with pytest.raises(ValueError):
+        QuakeIndex().build(x, np.arange(100, dtype=np.int64),
+                           IndexBuildParams(nlist=0, spill=True))
