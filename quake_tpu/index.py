@@ -283,12 +283,6 @@ class QuakeIndex:
         """Shard the partition store over a device mesh (the analog of the
         reference's worker-pool initialization, query_coordinator.cpp:50-73,
         with ICI collectives replacing job queues)."""
-        if self.spill:
-            raise NotImplementedError(
-                "mesh sharding of SOAR-spilled indexes is not supported yet "
-                "(the cross-shard merge lacks the dedup stage); build with "
-                "spill=False or num_shards=1"
-            )
         from quake_tpu.parallel.mesh import make_mesh, shard_store_state
 
         self.mesh = make_mesh(n_devices)
@@ -390,7 +384,7 @@ class QuakeIndex:
                     self.mesh, state.codes, state.ids, state.norms,
                     pstate.codes, pstate.ids,
                     q, k=k, nprobe=parent_k, metric=self.metric,
-                    qt=qt, group_chunk=group_chunk,
+                    qt=qt, group_chunk=group_chunk, dedup=self.spill,
                 )
             else:
                 scores, ids32, dists, scanned, pids = coordinator.fused_ivf_search(
@@ -549,6 +543,12 @@ class QuakeIndex:
             if self.mesh is not None:
                 from quake_tpu.parallel.sharded import sharded_aps_search
 
+                if self.spill:
+                    raise NotImplementedError(
+                        "recall-target search on a SHARDED spilled index is "
+                        "not supported yet (the sharded APS loop lacks the "
+                        "2k dedup carry); use fixed nprobe or un-shard"
+                    )
                 scores, ids32, scanned = sharded_aps_search(
                     self.mesh, state.codes, state.ids, state.centroids,
                     q, pids,
@@ -597,7 +597,8 @@ class QuakeIndex:
             from quake_tpu.parallel.sharded import sharded_ivf_search
 
             scores, ids32, scanned = sharded_ivf_search(
-                self.mesh, state.codes, state.ids, q, pids, k, self.metric
+                self.mesh, state.codes, state.ids, q, pids, k, self.metric,
+                dedup=self.spill,
             )
             timing.partitions_scanned = parent_k
             self._record_hits(pids, scanned)

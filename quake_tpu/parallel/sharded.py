@@ -23,14 +23,24 @@ from quake_tpu.ops.scan import flat_scan, ivf_scan, topk_from_scores
 from quake_tpu.parallel.mesh import SHARD_AXIS
 
 
-def _merge_gathered(scores, ids32, k: int, axis: str):
+def _merge_gathered(scores, ids32, k: int, axis: str, dedup: bool = False):
     """all_gather per-device top-k and reduce to global top-k (the ICI
-    tournament replacing TopkBuffer::batch_add merging)."""
+    tournament replacing TopkBuffer::batch_add merging).
+
+    dedup: SOAR spilled stores — a vector's two copies can surface from two
+    different shards (and, under slot sharding, from one shard); keep each
+    id's best entry over a 2k pool (see ops.scan.dedup_topk)."""
     all_s = lax.all_gather(scores, axis)  # [ndev, B, k]
     all_i = lax.all_gather(ids32, axis)
     ndev, B, kk = all_s.shape
     all_s = jnp.moveaxis(all_s, 0, 1).reshape(B, ndev * kk)
     all_i = jnp.moveaxis(all_i, 0, 1).reshape(B, ndev * kk)
+    if dedup:
+        from quake_tpu.ops.scan import dedup_topk
+
+        pool = min(2 * k, ndev * kk)
+        ps, pi = topk_from_scores(all_s, all_i, pool)
+        return dedup_topk(ps, pi, k)
     return topk_from_scores(all_s, all_i, k)
 
 
@@ -40,21 +50,33 @@ def _detect_slot_sharded(arr) -> bool:
 
 
 def sharded_ivf_search(mesh, codes, ids, q, pids, k: int, metric: str,
-                       strategy: str | None = None):
+                       strategy: str | None = None, dedup: bool = False):
     """Fixed-nprobe search over sharded slabs.
 
     codes [P, C, D] / ids [P, C] sharded per the chosen strategy; q [B, D]
     and pids [B, nprobe] (global partition indices, -1 pad) replicated.
     Returns (scores [B, k], ids [B, k], scanned [B]) replicated.
+
+    dedup (SOAR spill): the local scan runs at 2k (copies can crowd a
+    k-wide local list) and both local and global merges keep distinct ids.
     """
     if strategy is None:
         strategy = "slot" if _detect_slot_sharded(codes) else "partition"
+    k_loc = 2 * k if dedup else k
+
+    def _local_finish(s, i):
+        if dedup:
+            from quake_tpu.ops.scan import dedup_topk
+
+            s, i = dedup_topk(s, i, k)
+        return _merge_gathered(s, i, k, SHARD_AXIS, dedup=dedup)
 
     if strategy == "slot":
 
         def local(codes_l, ids_l, q_l, pids_l):
-            s, i, scanned = ivf_scan(q_l, pids_l, codes_l, ids_l, None, k, metric)
-            ms, mi = _merge_gathered(s, i, k, SHARD_AXIS)
+            s, i, scanned = ivf_scan(q_l, pids_l, codes_l, ids_l, None,
+                                     k_loc, metric)
+            ms, mi = _local_finish(s, i)
             return ms, mi, scanned  # scanned identical on all shards
 
         in_specs = (P(None, SHARD_AXIS), P(None, SHARD_AXIS), P(), P())
@@ -67,8 +89,9 @@ def sharded_ivf_search(mesh, codes, ids, q, pids, k: int, metric: str,
             local_idx = pids_l - offset
             owned = (pids_l >= 0) & (local_idx >= 0) & (local_idx < p_local)
             local_pids = jnp.where(owned, local_idx, -1)
-            s, i, scanned = ivf_scan(q_l, local_pids, codes_l, ids_l, None, k, metric)
-            ms, mi = _merge_gathered(s, i, k, SHARD_AXIS)
+            s, i, scanned = ivf_scan(q_l, local_pids, codes_l, ids_l, None,
+                                     k_loc, metric)
+            ms, mi = _local_finish(s, i)
             return ms, mi, lax.psum(scanned, SHARD_AXIS)
 
         in_specs = (P(SHARD_AXIS), P(SHARD_AXIS), P(), P())
@@ -226,7 +249,8 @@ def sharded_kmeans_step(mesh, x_sharded, centroids, metric: str = "l2"):
 
 def sharded_fused_search(mesh, codes, ids, norms, parent_codes, parent_ids, q,
                          k: int, nprobe: int, metric: str,
-                         qt: int = 64, group_chunk: int = 64):
+                         qt: int = 64, group_chunk: int = 64,
+                         dedup: bool = False):
     """End-to-end fixed-nprobe search over the mesh as one program:
     replicated parent centroid scan -> per-shard partition-major grouped scan
     of the local slab slice -> all_gather top-k merge -> distances.
@@ -246,9 +270,9 @@ def sharded_fused_search(mesh, codes, ids, norms, parent_codes, parent_ids, q,
         )
         s, i, scanned = grouped_scan_xla(
             codes_l, ids_l, q_l, probe, k, metric, qt=qt,
-            group_chunk=group_chunk, norms=norms_l,
+            group_chunk=group_chunk, norms=norms_l, dedup=dedup,
         )
-        ms, mi = _merge_gathered(s, i, k, SHARD_AXIS)
+        ms, mi = _merge_gathered(s, i, k, SHARD_AXIS, dedup=dedup)
         return ms, mi, scores_to_distances(ms, mi, metric), scanned, probe
 
     fn = jax.shard_map(

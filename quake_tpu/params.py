@@ -106,9 +106,10 @@ class IndexBuildParams:
     # secondary partition chosen to keep the two residuals orthogonal
     # (soar_lambda weights the orthogonality penalty; 0 = plain 2nd
     # nearest). Memory doubles; recall per probed partition rises, so the
-    # same recall needs fewer probes. Search dedups the copies. v1 limits:
-    # cost-based maintenance (split/delete) and mesh sharding are disabled
-    # on spilled indexes.
+    # same recall needs fewer probes. Search dedups the copies (single-device
+    # and sharded: local 2k dedup + dedup'd ICI merge). v1 limits: cost-based
+    # maintenance (split/delete) is a no-op, and recall-target search on a
+    # SHARDED spilled index raises.
     spill: bool = False
     soar_lambda: float = 1.0
     # Build-time split threshold as a multiple of the mean partition size:

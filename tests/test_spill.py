@@ -125,10 +125,28 @@ def test_spill_aps_adherence_and_maintenance_noop(spill_index):
     assert info.total_time_us == 0
 
 
-def test_spill_shard_rejected(spill_index):
-    idx, _, _ = spill_index
+def test_spill_sharded_matches_single_device():
+    """Sharded spilled search (local 2k dedup + dedup'd ICI merge) returns
+    the same ids as single-device; APS on a sharded spilled index raises
+    (documented limit)."""
+    rng = np.random.default_rng(17)
+    n, d = 4000, 16
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    q = rng.standard_normal((24, d)).astype(np.float32)
+    idx = QuakeIndex()
+    idx.build(x, np.arange(n, dtype=np.int64),
+              IndexBuildParams(nlist=16, metric="l2", spill=True))
+    before = idx.search(q, SearchParams(k=10, nprobe=5))
+    idx.shard(4)
+    after = idx.search(q, SearchParams(k=10, nprobe=5))
+    for b in range(q.shape[0]):
+        assert (set(np.asarray(before.ids)[b].tolist())
+                == set(np.asarray(after.ids)[b].tolist())), b
+        valid = np.asarray(after.ids)[b][np.asarray(after.ids)[b] >= 0]
+        assert len(valid) == len(set(valid.tolist()))
     with pytest.raises(NotImplementedError):
-        idx.shard(2)
+        idx.search(q, SearchParams(k=10, recall_target=0.8,
+                                   initial_search_fraction=0.5))
 
 
 def test_spill_requires_ivf():
