@@ -543,22 +543,24 @@ class QuakeIndex:
             if self.mesh is not None:
                 from quake_tpu.parallel.sharded import sharded_aps_search
 
-                if self.spill:
-                    raise NotImplementedError(
-                        "recall-target search on a SHARDED spilled index is "
-                        "not supported yet (the sharded APS loop lacks the "
-                        "2k dedup carry); use fixed nprobe or un-shard"
-                    )
+                # Spilled stores: run the loop at 2k and dedup after (same
+                # trick as the single-device branch below; the 2k-th radius
+                # keeps the recall model conservative).
+                k_eff = 2 * k if self.spill else k
                 scores, ids32, scanned = sharded_aps_search(
                     self.mesh, state.codes, state.ids, state.centroids,
                     q, pids,
                     jnp.float32(sp.recall_target),
                     jnp.float32(sp.recompute_threshold),
-                    k=k, metric=self.metric,
+                    k=k_eff, metric=self.metric,
                     dimension=self.aps_dimension or self.d(),
                     chunk=chunk, use_precomputed=bool(sp.use_precomputed),
                     table=table, qt=qt, group_chunk=group_chunk,
                 )
+                if self.spill:
+                    from quake_tpu.ops.scan import dedup_topk
+
+                    scores, ids32 = dedup_topk(scores, ids32, k)
             else:
                 # Spilled stores run the loop at 2k and dedup after: the
                 # chunk merges can carry both copies of a neighbor, and the

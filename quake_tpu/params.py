@@ -107,9 +107,9 @@ class IndexBuildParams:
     # (soar_lambda weights the orthogonality penalty; 0 = plain 2nd
     # nearest). Memory doubles; recall per probed partition rises, so the
     # same recall needs fewer probes. Search dedups the copies (single-device
-    # and sharded: local 2k dedup + dedup'd ICI merge). v1 limits: cost-based
-    # maintenance (split/delete) is a no-op, and recall-target search on a
-    # SHARDED spilled index raises.
+    # and sharded: local 2k dedup + dedup'd ICI merge; recall-target runs
+    # its loop at 2k with a dedup tail). v1 limit: cost-based maintenance
+    # (split/delete) is a no-op on spilled indexes.
     spill: bool = False
     soar_lambda: float = 1.0
     # Build-time split threshold as a multiple of the mean partition size:

@@ -144,9 +144,16 @@ def test_spill_sharded_matches_single_device():
                 == set(np.asarray(after.ids)[b].tolist())), b
         valid = np.asarray(after.ids)[b][np.asarray(after.ids)[b] >= 0]
         assert len(valid) == len(set(valid.tolist()))
-    with pytest.raises(NotImplementedError):
-        idx.search(q, SearchParams(k=10, recall_target=0.8,
-                                   initial_search_fraction=0.5))
+    # Recall-target on the sharded spilled index: the loop runs at 2k with
+    # a dedup tail — results must be dup-free and adhere.
+    gt, _ = knn(q, x, 10, "l2")
+    res_aps = idx.search(q, SearchParams(k=10, recall_target=0.8,
+                                         initial_search_fraction=0.5))
+    rid = np.asarray(res_aps.ids)
+    for b in range(rid.shape[0]):
+        valid = rid[b][rid[b] >= 0]
+        assert len(valid) == len(set(valid.tolist()))
+    assert compute_recall(rid, gt, 10) >= 0.75
 
 
 def test_spill_requires_ivf():
