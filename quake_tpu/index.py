@@ -685,19 +685,22 @@ class QuakeIndex:
             return timing
 
         t1 = _now_us()
-        srows = None
         if self.parent is not None:
             if self.spill:
                 rows, srows = self._assign_rows_spill(x)
-            else:
-                rows = self._assign_rows(x)
-                rows = self._ensure_room_by_splitting(rows, x, ids)
+                timing.find_partition_time_us = _now_us() - t1
+                t2 = _now_us()
+                self._append_spilled(rows, srows, x, ids)
+                timing.modify_time_us = _now_us() - t2
+                return timing
+            rows = self._assign_rows(x)
+            rows = self._ensure_room_by_splitting(rows, x, ids)
         else:
             rows = np.zeros(x.shape[0], dtype=np.int32)
         timing.find_partition_time_us = _now_us() - t1
 
         t2 = _now_us()
-        self.store.append(rows, x, ids, spill_rows=srows)
+        self.store.append(rows, x, ids)
         timing.modify_time_us = _now_us() - t2
         return timing
 
@@ -712,7 +715,7 @@ class QuakeIndex:
         self._pending_idset.clear()
         if self.spill:
             rows, srows = self._assign_rows_spill(x)
-            self.store.append(rows, x, ids, spill_rows=srows)
+            self._append_spilled(rows, srows, x, ids)
             return
         rows = self._assign_rows(x)
         rows = self._ensure_room_by_splitting(rows, x, ids)
@@ -769,19 +772,30 @@ class QuakeIndex:
         from quake_tpu.kmeans import kmeans_np
 
         store = self.store
-        split_cents, split_vecs, split_ids = [], [], []
+        split_cents, split_vecs, split_ids, split_flags = [], [], [], []
         for r in rows:
             vecs, vids = store.get_partition(int(r))
             cents, clusters = kmeans_np(vecs, vids, 2, self.metric)
             for j in range(2):
+                cids = clusters[j][1]
                 split_cents.append(cents[j])
                 split_vecs.append(clusters[j][0])
-                split_ids.append(clusters[j][1])
+                split_ids.append(cids)
+                if self.spill:
+                    # Which residency lived in the split row: the copy here
+                    # is the spill one iff spill_map points at r.
+                    split_flags.append(
+                        store.spill_map.get_batch(to_i64(cids)) == int(r)
+                        if len(cids) else np.zeros(0, bool)
+                    )
         # Delete originals without reassignment; their vectors live on in the halves.
         self.parent.remove(np.asarray(rows, dtype=np.int64))
         store.delete_partitions([int(r) for r in rows])
         new_rows = store.allocate_rows(len(split_cents))
-        store.write_partitions(new_rows, split_vecs, split_ids, split_cents)
+        store.write_partitions(
+            new_rows, split_vecs, split_ids, split_cents,
+            spill_flags_list=split_flags if self.spill else None,
+        )
         self.parent.add(
             np.asarray(split_cents, dtype=np.float32),
             np.asarray(new_rows, dtype=np.int64),
@@ -794,6 +808,20 @@ class QuakeIndex:
         sp = SearchParams(k=1, nprobe=self.parent.nlist(), batched_scan=True)
         _, rows32, _ = self.parent._search_device(jnp.asarray(x), sp)
         return np.asarray(rows32)[:, 0].astype(np.int32)
+
+    def _append_spilled(self, rows, srows, x, ids):
+        """Insert both residencies with ONE combined overflow-splitting pass
+        (capacity isolation holds for spilled stores too: a flood's primary
+        AND spill targets both get split instead of growing global C)."""
+        n = len(rows)
+        rows_comb = np.concatenate([rows, srows])
+        x2 = np.concatenate([x, x])
+        ids2 = np.concatenate([to_i64(ids), to_i64(ids)])
+        flags2 = np.concatenate([np.zeros(n, bool), np.ones(n, bool)])
+        rows_comb = self._ensure_room_by_splitting(
+            rows_comb, x2, ids2, incoming_spill=flags2)
+        self.store.append_primaries(rows_comb[:n], x, ids)
+        self.store.append_spill_copies(rows_comb[n:], x, ids)
 
     def _assign_rows_spill(self, x):
         """(primary, spill) row assignment with the same SOAR objective the
@@ -808,7 +836,8 @@ class QuakeIndex:
             rows_act[a2].astype(np.int32),
         )
 
-    def _ensure_room_by_splitting(self, rows: np.ndarray, x, ids) -> np.ndarray:
+    def _ensure_room_by_splitting(self, rows: np.ndarray, x, ids,
+                                  incoming_spill=None) -> np.ndarray:
         """Capacity-isolation growth: when an insert batch would overflow a
         partition's slab capacity AND that partition is an outlier (>1.5x the
         post-insert mean — the same cap the build-time balancer uses), split
@@ -823,6 +852,12 @@ class QuakeIndex:
         TPU-native equivalent of isolated growth is a local split (Voronoi
         refinement — bytes scanned for untouched partitions unchanged).
 
+        Spilled stores call this ONCE over the combined primary+spill
+        insertion set (incoming_spill marks the spill copies): within a
+        split group each id appears at most once (a vector's two copies
+        target different partitions), so ownership routes cleanly through
+        per-(row, id) flags.
+
         Returns rows with handled (already-inserted) vectors marked -1.
         """
         from quake_tpu.kmeans import kmeans_np
@@ -834,7 +869,10 @@ class QuakeIndex:
         over = np.nonzero(need > store.C)[0]
         if over.size == 0:
             return rows
-        mean_after = (self.ntotal() + int((rows >= 0).sum())) / max(self.nlist(), 1)
+        phys = 2 if self.spill else 1  # slab sizes count both residencies
+        mean_after = (
+            self.ntotal() * phys + int((rows >= 0).sum())
+        ) / max(self.nlist(), 1)
         cap = max(256, -(-int(1.5 * mean_after) // 256) * 256)
         split_rows = [int(r) for r in over if need[r] > cap]
         if not split_rows:
@@ -842,10 +880,20 @@ class QuakeIndex:
 
         rows = rows.copy()
         target_fill = max(int(0.75 * store.C), 1)
-        all_cents, all_vecs, all_ids = [], [], []
+        all_cents, all_vecs, all_ids, all_src = [], [], [], []
+        spill_owned = {}  # (src_row, id) -> copy there is the spill residency
         for r in split_rows:
             vecs, vids = store.get_partition(r)
+            if self.spill and len(vids):
+                spl = store.spill_map.get_batch(to_i64(vids))
+                for vid, srow in zip(vids, spl):
+                    if srow == r:
+                        spill_owned[(r, int(vid))] = True
             m = rows == r
+            if self.spill and incoming_spill is not None and m.any():
+                for vid, fl in zip(to_i64(ids)[m], incoming_spill[m]):
+                    if fl:
+                        spill_owned[(r, int(vid))] = True
             uv = np.concatenate([vecs, x[m]]) if m.any() else vecs
             uids = np.concatenate([vids, to_i64(ids)[m]]) if m.any() else vids
             nsplit = max(2, -(-len(uids) // target_fill))
@@ -856,6 +904,7 @@ class QuakeIndex:
                     all_cents.append(cents[j])
                     all_vecs.append(cvecs)
                     all_ids.append(cids)
+                    all_src.append(r)
                     continue
                 # k-means cannot separate near-duplicate floods (the whole
                 # ball lands in one cell); chop oversized cells by order —
@@ -871,11 +920,21 @@ class QuakeIndex:
                     )
                     all_vecs.append(piece_v)
                     all_ids.append(piece_i)
+                    all_src.append(r)
             rows[m] = -1  # inserted via the split write below
         self.parent.remove(np.asarray(split_rows, dtype=np.int64))
         store.delete_partitions(split_rows)
         new_rows = store.allocate_rows(len(all_cents))
-        store.write_partitions(new_rows, all_vecs, all_ids, all_cents)
+        flags = None
+        if self.spill:
+            flags = [
+                np.asarray(
+                    [spill_owned.get((src, int(i)), False) for i in cids],
+                    bool)
+                for src, cids in zip(all_src, all_ids)
+            ]
+        store.write_partitions(new_rows, all_vecs, all_ids, all_cents,
+                               spill_flags_list=flags)
         self.parent.add(
             np.asarray(all_cents, dtype=np.float32),
             np.asarray(new_rows, dtype=np.int64),
@@ -887,10 +946,11 @@ class QuakeIndex:
     def maintenance(self) -> MaintenanceTimingInfo:
         """Cost-based split/delete + local refinement (quake_index.cpp:157-163).
 
-        SOAR-spilled indexes: a no-op for now — split/refine re-cluster a
-        partition's residents, which would treat spilled copies as
-        independent points and break the two-residency invariant."""
-        if self.maintenance_policy is None or self.spill:
+        SOAR-spilled indexes run SPLITS only (ownership-aware: each moved
+        copy keeps its residency map); cost-based deletes and local
+        refinement stay disabled — both reassign vectors across partitions,
+        which needs spill-aware re-homing (r3)."""
+        if self.maintenance_policy is None:
             return MaintenanceTimingInfo()
         self._flush_mutations()
         return self.maintenance_policy.perform_maintenance()

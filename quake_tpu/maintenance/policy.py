@@ -117,6 +117,13 @@ class MaintenancePolicy:
         max_del = total_partitions - 1
         to_delete = to_delete[:max_del]
 
+        if getattr(self.index, "spill", False):
+            # Spilled indexes: splits are ownership-aware (split_partitions
+            # routes each moved copy to its residency map), but deletes and
+            # refinement REASSIGN vectors across partitions and need
+            # spill-aware re-homing — keep them off.
+            to_delete = []
+
         t_del = _now_us()
         if to_delete:
             self._delete_partitions(to_delete, reassign=True)
@@ -131,7 +138,7 @@ class MaintenancePolicy:
         timing.split_time_us = _now_us() - t_split
 
         t_refine = _now_us()
-        if new_rows:
+        if new_rows and not getattr(self.index, "spill", False):
             self.local_refinement(new_rows)
         timing.split_refine_time_us = _now_us() - t_refine
 

@@ -108,8 +108,10 @@ class IndexBuildParams:
     # nearest). Memory doubles; recall per probed partition rises, so the
     # same recall needs fewer probes. Search dedups the copies (single-device
     # and sharded: local 2k dedup + dedup'd ICI merge; recall-target runs
-    # its loop at 2k with a dedup tail). v1 limit: cost-based maintenance
-    # (split/delete) is a no-op on spilled indexes.
+    # its loop at 2k with a dedup tail). Maintenance SPLITS and the
+    # capacity-isolation overflow path are ownership-aware; cost-based
+    # deletes and local refinement (which reassign vectors across
+    # partitions) stay disabled on spilled indexes.
     spill: bool = False
     soar_lambda: float = 1.0
     # Build-time split threshold as a multiple of the mean partition size:

@@ -388,6 +388,18 @@ class PartitionStore:
                              self.spill_map)
         self._append_one(rows, vecs, vids, self.id_map)
 
+    def append_spill_copies(self, rows: np.ndarray, vecs: np.ndarray,
+                            vids: np.ndarray):
+        """Append only the SPILL residency of each vector (the caller
+        handles the primaries separately, e.g. through overflow splitting)."""
+        self._append_one(np.asarray(rows), vecs, vids, self.spill_map)
+
+    def append_primaries(self, rows: np.ndarray, vecs: np.ndarray,
+                         vids: np.ndarray):
+        """Append only the PRIMARY residency (rows may contain -1 for
+        vectors already inserted via a split)."""
+        self._append_one(np.asarray(rows), vecs, vids, self.id_map)
+
     def _append_one(self, rows: np.ndarray, vecs: np.ndarray,
                     vids: np.ndarray, id_map):
         n = len(rows)
@@ -479,8 +491,13 @@ class PartitionStore:
             self.generation[r] += 1
         return rows
 
-    def write_partitions(self, rows, vecs_list, vids_list, centroids):
-        """Write whole partitions (split/refine). Lists of per-partition arrays."""
+    def write_partitions(self, rows, vecs_list, vids_list, centroids,
+                         spill_flags_list=None):
+        """Write whole partitions (split/refine). Lists of per-partition arrays.
+
+        spill_flags_list (spilled stores): per-partition bool arrays aligned
+        with vids_list — True where the written copy is the vector's SPILL
+        residency (tracked by spill_map), False for the primary (id_map)."""
         m = len(rows)
         max_sz = max((len(v) for v in vids_list), default=1)
         if max_sz > self.C:
@@ -513,14 +530,41 @@ class PartitionStore:
             if len(vids_list[i])
         ]
         if all_keys:
-            self.id_map.set_batch(np.concatenate(all_keys), np.concatenate(all_rows))
+            keys = np.concatenate(all_keys)
+            vals = np.concatenate(all_rows)
+            if spill_flags_list is not None:
+                flags = np.concatenate(
+                    [np.asarray(f, bool) for i, f in enumerate(spill_flags_list)
+                     if len(vids_list[i])]
+                )
+                if (~flags).any():
+                    self.id_map.set_batch(keys[~flags], vals[~flags])
+                if flags.any():
+                    self.spill_map.set_batch(keys[flags], vals[flags])
+            else:
+                self.id_map.set_batch(keys, vals)
 
     def delete_partitions(self, rows):
-        """Deactivate rows; ids within them are dropped from the resident map."""
-        ids_np = np.asarray(self.state.ids[np.asarray(rows, dtype=np.int64)])
-        gone = ids_np[ids_np >= 0].astype(np.int64)
-        if len(gone):
-            self.id_map.erase_batch(gone)
+        """Deactivate rows; ids within them are dropped from the resident
+        map. Spilled stores erase each id from whichever map tracks the copy
+        that lived in the deleted row (the twin's residency stays valid)."""
+        rows_arr = np.asarray(rows, dtype=np.int64)
+        ids_np = np.asarray(self.state.ids[rows_arr])
+        if self.spill_map is None:
+            gone = ids_np[ids_np >= 0].astype(np.int64)
+            if len(gone):
+                self.id_map.erase_batch(gone)
+        else:
+            for ri, r in enumerate(rows_arr):
+                gone = ids_np[ri][ids_np[ri] >= 0].astype(np.int64)
+                if not len(gone):
+                    continue
+                prim = self.id_map.get_batch(gone)
+                if (prim == r).any():
+                    self.id_map.erase_batch(gone[prim == r])
+                spl = self.spill_map.get_batch(gone)
+                if (spl == r).any():
+                    self.spill_map.erase_batch(gone[spl == r])
         mb = _bucket(len(rows), 1)
         rows_p = np.full(mb, -1, np.int32)
         rows_p[: len(rows)] = rows

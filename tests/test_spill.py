@@ -109,7 +109,7 @@ def test_spill_save_load_roundtrip(spill_index):
         assert not np.isin(sid[sid >= 0], np.asarray(before.ids)[0, :3]).any()
 
 
-def test_spill_aps_adherence_and_maintenance_noop(spill_index):
+def test_spill_aps_adherence_and_maintenance(spill_index):
     idx, x, ids = spill_index
     rng = np.random.default_rng(15)
     q = rng.standard_normal((32, x.shape[1])).astype(np.float32)
@@ -121,8 +121,78 @@ def test_spill_aps_adherence_and_maintenance_noop(spill_index):
         valid = rid[b][rid[b] >= 0]
         assert len(valid) == len(set(valid.tolist()))
     assert compute_recall(rid, gt, 10) >= 0.75
-    info = idx.maintenance()  # documented no-op for spilled indexes
-    assert info.total_time_us == 0
+    info = idx.maintenance()  # runs (splits-only mode); never deletes
+    assert info.n_deletes == 0
+
+
+def _two_residency_ok(idx, n_expected):
+    sid = np.asarray(idx.store.state.ids)
+    rows, _ = np.nonzero(sid >= 0)
+    flat = sid[sid >= 0]
+    by_id = {}
+    for r, i in zip(rows, flat):
+        by_id.setdefault(int(i), []).append(int(r))
+    assert len(by_id) == n_expected
+    assert all(len(v) == 2 and v[0] != v[1] for v in by_id.values())
+    # maps agree with the slabs
+    ids_arr = np.fromiter(by_id.keys(), np.int64)
+    prim = idx.store.id_map.get_batch(ids_arr)
+    spl = idx.store.spill_map.get_batch(ids_arr)
+    for i, p, s in zip(ids_arr, prim, spl):
+        assert sorted((int(p), int(s))) == sorted(by_id[int(i)]), int(i)
+
+
+def test_spill_maintenance_split_preserves_residency():
+    """Skewed traffic triggers policy splits (partitions above the split
+    break-even size, same recipe as test_maintenance): every vector must
+    still have exactly two residencies, each tracked by the right map, and
+    full-probe search must stay dup-free and exact."""
+    from quake_tpu import MaintenancePolicyParams
+
+    rng = np.random.default_rng(18)
+    n, d = 30_000, 16
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    idx = QuakeIndex()
+    idx.build(x, np.arange(n, dtype=np.int64),
+              IndexBuildParams(nlist=4, metric="l2", spill=True))
+    idx.initialize_maintenance_policy(
+        MaintenancePolicyParams(window_size=50, split_threshold_ns=0.0,
+                                delete_threshold_ns=1e9))
+    rows = idx.store.active_rows()[:2].tolist()
+    for _ in range(60):
+        idx.maintenance_policy.record_query_hits(rows)
+    nlist0 = idx.nlist()
+    info = idx.maintenance()
+    assert info.n_splits > 0 and idx.nlist() > nlist0
+    _two_residency_ok(idx, n)
+    assert idx.validate()
+    q = rng.standard_normal((16, d)).astype(np.float32)
+    gt, _ = knn(q, x, 10, "l2")
+    res = idx.search(q, SearchParams(k=10, nprobe=idx.nlist()))
+    rid = np.asarray(res.ids)
+    for b in range(rid.shape[0]):
+        valid = rid[b][rid[b] >= 0]
+        assert len(valid) == len(set(valid.tolist()))
+    assert compute_recall(rid, gt, 10) >= 0.999
+
+
+def test_spill_overflow_split_isolated():
+    """Flooding one region with adds must trigger the capacity-isolation
+    split, not a global C blowup, and keep the two-residency invariant."""
+    rng = np.random.default_rng(19)
+    n, d = 4000, 16
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    idx = QuakeIndex()
+    idx.build(x, np.arange(n, dtype=np.int64),
+              IndexBuildParams(nlist=16, metric="l2", spill=True))
+    C0, nlist0 = idx.store.C, idx.nlist()
+    # A tight cluster near one existing point: all primaries land together.
+    flood = x[0] + 0.01 * rng.standard_normal((1500, d)).astype(np.float32)
+    idx.add(flood, np.arange(n, n + 1500, dtype=np.int64))
+    assert idx.ntotal() == n + 1500
+    assert idx.nlist() > nlist0  # the hot partition split
+    _two_residency_ok(idx, n + 1500)
+    assert idx.validate()
 
 
 def test_spill_sharded_matches_single_device():
