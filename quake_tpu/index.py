@@ -946,10 +946,10 @@ class QuakeIndex:
     def maintenance(self) -> MaintenanceTimingInfo:
         """Cost-based split/delete + local refinement (quake_index.cpp:157-163).
 
-        SOAR-spilled indexes run SPLITS only (ownership-aware: each moved
-        copy keeps its residency map); cost-based deletes and local
-        refinement stay disabled — both reassign vectors across partitions,
-        which needs spill-aware re-homing (r3)."""
+        Fully supported on SOAR-spilled indexes: splits, deletes and
+        refinement are ownership-aware — every moved copy keeps its
+        residency map, deleted copies re-home away from their twin's
+        partition, and refinement separates same-cluster twins."""
         if self.maintenance_policy is None:
             return MaintenanceTimingInfo()
         self._flush_mutations()

@@ -117,13 +117,6 @@ class MaintenancePolicy:
         max_del = total_partitions - 1
         to_delete = to_delete[:max_del]
 
-        if getattr(self.index, "spill", False):
-            # Spilled indexes: splits are ownership-aware (split_partitions
-            # routes each moved copy to its residency map), but deletes and
-            # refinement REASSIGN vectors across partitions and need
-            # spill-aware re-homing — keep them off.
-            to_delete = []
-
         t_del = _now_us()
         if to_delete:
             self._delete_partitions(to_delete, reassign=True)
@@ -138,7 +131,7 @@ class MaintenancePolicy:
         timing.split_time_us = _now_us() - t_split
 
         t_refine = _now_us()
-        if new_rows and not getattr(self.index, "spill", False):
+        if new_rows:
             self.local_refinement(new_rows)
         timing.split_refine_time_us = _now_us() - t_refine
 
@@ -173,19 +166,58 @@ class MaintenancePolicy:
 
     def _delete_partitions(self, rows, reassign: bool = True):
         """partition_manager.cpp:524-554: remove centroids from parent, free
-        the rows, optionally reassign orphaned vectors via add()."""
+        the rows, optionally reassign orphaned vectors via add().
+
+        Spilled stores: each orphan copy keeps its residency map and must be
+        re-homed to a partition DIFFERENT from its twin's (the other copy
+        stays where it is)."""
         store = self.index.store
         orphans = []
+        spill_flags, twins = [], []
         for r in rows:
             vecs, vids = store.get_partition(int(r))
-            if vecs.shape[0]:
-                orphans.append((vecs, vids))
+            if not vecs.shape[0]:
+                continue
+            orphans.append((vecs, vids))
+            if self.index.spill:
+                # Ownership + twin row per orphan, recorded BEFORE deletion.
+                prim = store.id_map.get_batch(vids)
+                spl = store.spill_map.get_batch(vids)
+                was_spill = spl == int(r)
+                spill_flags.append(was_spill)
+                twins.append(np.where(was_spill, prim, spl).astype(np.int64))
         self.index.parent.remove(np.asarray(rows, dtype=np.int64))
         store.delete_partitions([int(r) for r in rows])
-        if reassign and orphans:
-            vecs = np.concatenate([o[0] for o in orphans])
-            vids = np.concatenate([o[1] for o in orphans])
+        if not (reassign and orphans):
+            return
+        vecs = np.concatenate([o[0] for o in orphans])
+        vids = np.concatenate([o[1] for o in orphans])
+        if not self.index.spill:
             self.index.add(vecs, vids)
+            return
+        # Re-home each orphan copy: best parent candidate that is not the
+        # twin's partition (the twin's residency is untouched; ids stay
+        # resident, so index.add()'s duplicate validation cannot be used).
+        import jax.numpy as jnp
+
+        flags = np.concatenate(spill_flags)
+        twin = np.concatenate(twins)
+        sp = SearchParams(k=2, batched_scan=True)
+        _, cand32, _ = self.index.parent._search_device(jnp.asarray(vecs), sp)
+        cand = np.asarray(cand32).astype(np.int64)
+        new_rows = np.where(cand[:, 0] != twin, cand[:, 0], cand[:, 1])
+        # Both of an id's partitions deleted: the copies reassign together
+        # (identical vectors, identical candidates) — send the primary to
+        # the 1st candidate and the spill to the 2nd so they stay apart.
+        uniq, counts = np.unique(vids, return_counts=True)
+        is_dup = np.isin(vids, uniq[counts > 1])
+        new_rows = np.where(is_dup & ~flags, cand[:, 0], new_rows)
+        new_rows = np.where(is_dup & flags, cand[:, 1], new_rows)
+        new_rows = np.where(new_rows >= 0, new_rows, cand[:, 0]).astype(np.int32)
+        if (~flags).any():
+            store.append_primaries(new_rows[~flags], vecs[~flags], vids[~flags])
+        if flags.any():
+            store.append_spill_copies(new_rows[flags], vecs[flags], vids[flags])
 
     def _split_partitions(self, rows) -> list[int]:
         """2-way k-means per partition; delete originals, add the halves
@@ -211,10 +243,16 @@ class MaintenancePolicy:
 
     def refine_partitions(self, rows, iterations: int):
         """Local Lloyd passes constrained to the given partitions
-        (partition_manager.cpp:447-488, clustering.cpp:99-182)."""
+        (partition_manager.cpp:447-488, clustering.cpp:99-182).
+
+        Spilled stores: both of an id's copies can sit in the refine
+        neighborhood; being identical vectors, Lloyd puts them in the same
+        cluster — the spill copy is then bumped to its second-nearest
+        refined centroid, and every moved copy keeps its residency map."""
         if not rows:
             return
         store = self.index.store
+        spill = self.index.spill
         vec_list, id_list = [], []
         for r in rows:
             v, i = store.get_partition(int(r))
@@ -224,10 +262,60 @@ class MaintenancePolicy:
         new_cents, clusters = lloyd_refine_np(
             vec_list, id_list, cents, self.index.metric, iterations
         )
+        flags_list = None
+        if spill:
+            # Ownership per written copy. lloyd pools the neighborhood, so
+            # per-copy provenance is lost for ids with BOTH copies pooled —
+            # being identical, designating first-occurrence-primary is
+            # exact. For single-copy ids, ownership = which map points into
+            # the refine set.
+            row_set = set(int(r) for r in rows)
+            vecs_c = [c[0] for c in clusters]
+            ids_c = [list(map(int, c[1])) for c in clusters]
+            all_ids = [i for c in ids_c for i in c]
+            uniq, counts = np.unique(np.asarray(all_ids, np.int64),
+                                     return_counts=True)
+            dup_ids = set(uniq[counts > 1].tolist())
+            # Separate same-cluster twins: bump the 2nd occurrence to its
+            # second-nearest refined centroid.
+            for j, cid in enumerate(ids_c):
+                seen = set()
+                kept_i, moved = [], []
+                for pos, vid in enumerate(cid):
+                    if vid in seen:
+                        moved.append(pos)
+                    else:
+                        seen.add(vid)
+                        kept_i.append(pos)
+                for pos in sorted(moved, reverse=True):
+                    v = vecs_c[j][pos]
+                    d2 = ((new_cents - v) ** 2).sum(axis=1)
+                    d2[j] = np.inf
+                    tgt = int(np.argmin(d2))
+                    vecs_c[tgt] = np.concatenate([vecs_c[tgt], v[None]])
+                    ids_c[tgt].append(cid[pos])
+                    vecs_c[j] = np.delete(vecs_c[j], pos, axis=0)
+                    del ids_c[j][pos]
+            flags_list = []
+            seen_primary = set()
+            for cid in ids_c:
+                arr = np.asarray(cid, np.int64)
+                prim = store.id_map.get_batch(arr) if len(cid) else arr
+                fl = np.empty(len(cid), bool)
+                for pos, vid in enumerate(cid):
+                    if vid in dup_ids:
+                        fl[pos] = vid in seen_primary  # 1st primary, 2nd spill
+                        seen_primary.add(vid)
+                    else:
+                        # primary residency outside the pool -> this is spill
+                        fl[pos] = int(prim[pos]) not in row_set
+                flags_list.append(fl)
+            clusters = list(zip(vecs_c, [np.asarray(c, np.int64) for c in ids_c]))
         store.write_partitions(
             list(rows),
             [c[0] for c in clusters],
             [c[1] for c in clusters],
             new_cents,
+            spill_flags_list=flags_list,
         )
         self.index.parent.modify(np.asarray(rows, dtype=np.int64), new_cents)

@@ -108,10 +108,11 @@ class IndexBuildParams:
     # nearest). Memory doubles; recall per probed partition rises, so the
     # same recall needs fewer probes. Search dedups the copies (single-device
     # and sharded: local 2k dedup + dedup'd ICI merge; recall-target runs
-    # its loop at 2k with a dedup tail). Maintenance SPLITS and the
-    # capacity-isolation overflow path are ownership-aware; cost-based
-    # deletes and local refinement (which reassign vectors across
-    # partitions) stay disabled on spilled indexes.
+    # its loop at 2k with a dedup tail). Maintenance (splits, deletes, local
+    # refinement) and the capacity-isolation overflow path are fully
+    # ownership-aware: moved copies keep their residency map, deleted
+    # copies re-home away from their twin's partition, refinement separates
+    # same-cluster twins.
     spill: bool = False
     soar_lambda: float = 1.0
     # Build-time split threshold as a multiple of the mean partition size:

@@ -121,7 +121,7 @@ def test_spill_aps_adherence_and_maintenance(spill_index):
         valid = rid[b][rid[b] >= 0]
         assert len(valid) == len(set(valid.tolist()))
     assert compute_recall(rid, gt, 10) >= 0.75
-    info = idx.maintenance()  # runs (splits-only mode); never deletes
+    info = idx.maintenance()  # runs; uniform traffic -> no deletes here
     assert info.n_deletes == 0
 
 
@@ -232,3 +232,49 @@ def test_spill_requires_ivf():
     with pytest.raises(ValueError):
         QuakeIndex().build(x, np.arange(100, dtype=np.int64),
                            IndexBuildParams(nlist=0, spill=True))
+
+
+def test_spill_maintenance_delete_rehomes_away_from_twin():
+    """Cold-partition deletes on a spilled index: orphan copies re-home to a
+    partition different from their twin's, keeping exactly two residencies."""
+    from quake_tpu import MaintenancePolicyParams
+
+    rng = np.random.default_rng(20)
+    n, d = 12_000, 16
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    idx = QuakeIndex()
+    idx.build(x, np.arange(n, dtype=np.int64),
+              IndexBuildParams(nlist=12, metric="l2", spill=True))
+    idx.initialize_maintenance_policy(
+        MaintenancePolicyParams(window_size=50, delete_threshold_ns=0.0,
+                                split_threshold_ns=1e9,
+                                enable_delete_rejection=False))
+    hot = idx.store.active_rows()[:2].tolist()
+    for _ in range(60):
+        idx.maintenance_policy.record_query_hits(hot)  # others look cold
+    nlist0 = idx.nlist()
+    info = idx.maintenance()
+    assert info.n_deletes > 0 and idx.nlist() < nlist0
+    _two_residency_ok(idx, n)
+    assert idx.ntotal() == n
+    assert idx.validate()
+
+
+def test_spill_refinement_separates_twins():
+    """Local refinement pools neighboring partitions (which can contain both
+    copies of an id); after refinement every id must still be in two
+    DIFFERENT partitions with consistent maps, and full probe stays exact."""
+    rng = np.random.default_rng(21)
+    n, d = 9000, 16
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    idx = QuakeIndex()
+    idx.build(x, np.arange(n, dtype=np.int64),
+              IndexBuildParams(nlist=12, metric="l2", spill=True))
+    rows = idx.store.active_rows().tolist()
+    idx.maintenance_policy.refine_partitions(rows, iterations=2)
+    _two_residency_ok(idx, n)
+    assert idx.validate()
+    q = rng.standard_normal((16, d)).astype(np.float32)
+    gt, _ = knn(q, x, 10, "l2")
+    res = idx.search(q, SearchParams(k=10, nprobe=idx.nlist()))
+    assert compute_recall(np.asarray(res.ids), gt, 10) >= 0.999
