@@ -420,13 +420,20 @@ class QuakeIndex:
         """Grouped-scan backend choice. Mosaic kernels only lower on real TPU
         backends (measured ~5x over the chunked-XLA grouped scan); the
         QUAKE_TPU_KERNEL env var overrides for A/B runs ("xla"/"v2"/"v3"/
-        "v3p")."""
+        "v3p").
+
+        Groups-per-step is budgeted against VMEM: the pipeline double-buffers
+        gpb slabs of C*D elements (a 960-d store with C=640 OOMs scoped vmem
+        at gpb=4: 4 x 2.46MB x 2 > 16MB)."""
         override = os.environ.get("QUAKE_TPU_KERNEL")
         if override:
             return override
         try:
             if jax.default_backend() == "tpu":
-                return "v3p4"
+                elt = 2 if self.store.state.codes.dtype == jnp.bfloat16 else 4
+                slab = self.store.C * self.d() * elt
+                gpb = max(1, min(4, (12 << 20) // max(2 * slab, 1)))
+                return f"v3p{gpb}" if slab * 2 <= (12 << 20) else "xla"
         except Exception:
             pass
         return "xla"

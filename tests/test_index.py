@@ -230,3 +230,30 @@ def test_single_query_1d_input(small_data):
     res = idx.search(x[0], SearchParams(k=1, nprobe=4))
     assert res.ids.shape == (1, 1)
     assert res.ids[0, 0] == 0
+
+
+def test_grouped_kernel_vmem_budget(monkeypatch):
+    """Groups-per-step must shrink for wide slabs: a 960-d store with C=640
+    OOMs scoped vmem at gpb=4 (4 x 2.46MB double-buffered > 16MB)."""
+    import jax as _jax
+
+    from quake_tpu import IndexBuildParams, QuakeIndex
+
+    rng = np.random.default_rng(0)
+    monkeypatch.setattr(_jax, "default_backend", lambda: "tpu")
+
+    idx = QuakeIndex()
+    idx.build(rng.standard_normal((4000, 32)).astype(np.float32),
+              np.arange(4000, dtype=np.int64), IndexBuildParams(nlist=16))
+    assert idx._grouped_kernel() == "v3p4"  # small slab: full pipelining
+
+    wide = QuakeIndex()
+    wide.build(rng.standard_normal((3000, 960)).astype(np.float32),
+               np.arange(3000, dtype=np.int64), IndexBuildParams(nlist=8))
+    k = wide._grouped_kernel()
+    elt = 4
+    slab = wide.store.C * wide.d() * elt
+    gpb = int(k[3:]) if k.startswith("v3p") else 0
+    assert k == "xla" or gpb * 2 * slab <= (12 << 20), (k, slab)
+    if k.startswith("v3p"):
+        assert gpb < 4  # the wide slab must have reduced the pipeline depth
