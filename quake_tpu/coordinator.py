@@ -260,7 +260,13 @@ def grouped_scan(codes, ids, sizes, norms, q, pids, k: int, metric: str,
         if not ct or C % ct:
             ct = next((c for c in (512, 384, 256, 128) if C % c == 0), C)
         return grouped_scan_pallas_v4(codes, ids, sizes, norms, q, pids,
-                                      k, metric, qt=qt, ct=ct, gpb=gpb)
+                                      k, metric, qt=qt, ct=ct, gpb=gpb,
+                                      dedup=dedup)
+    if dedup and (kernel in ("v2", "v3", "v3p")):
+        raise ValueError(
+            f"kernel {kernel!r} does not support dedup (spilled stores); "
+            "use the default v3pN, v4, v5/v6, or xla backends"
+        )
     if kernel.startswith("v3p") and len(kernel) > 3:  # v3p2 / v3p4 / ...
         from quake_tpu.ops.pallas_grouped import grouped_scan_pallas_v3pn
 

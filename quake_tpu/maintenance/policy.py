@@ -205,6 +205,10 @@ class MaintenancePolicy:
         sp = SearchParams(k=2, batched_scan=True)
         _, cand32, _ = self.index.parent._search_device(jnp.asarray(vecs), sp)
         cand = np.asarray(cand32).astype(np.int64)
+        # cand[:,1] can be -1 (parent has < 2 candidates); the fallback below
+        # then re-homes a spill copy into its twin's partition. Acceptable:
+        # search dedup tolerates same-partition twins, and the next
+        # maintenance refinement separates them.
         new_rows = np.where(cand[:, 0] != twin, cand[:, 0], cand[:, 1])
         # Both of an id's partitions deleted: the copies reassign together
         # (identical vectors, identical candidates) — send the primary to

@@ -667,12 +667,13 @@ def _v4_kernel(metric: str, k: int, slot_mult: int, levels: int, gpb: int,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("k", "metric", "qt", "ct", "gpb", "mat_qg", "interpret"),
+    static_argnames=(
+        "k", "metric", "qt", "ct", "gpb", "mat_qg", "dedup", "interpret"),
 )
 def grouped_scan_pallas_v4(codes, ids, sizes, norms, q, pids, k: int,
                            metric: str, qt: int = 32, ct: int = 512,
                            gpb: int = 8, mat_qg: bool = False,
-                           interpret: bool = False):
+                           dedup: bool = False, interpret: bool = False):
     """Size-aware chunked grouped scan (see _v4_kernel).
 
     Same inputs/returns/semantics as grouped_scan_pallas_v3p; additionally
@@ -796,7 +797,7 @@ def grouped_scan_pallas_v4(codes, ids, sizes, norms, q, pids, k: int,
     m_scores = s.reshape(Bq, -1)
     m_refs = rf.reshape(Bq, -1)
     return _rescore_topk(m_scores, m_refs, codes, ids, norms, q, k, kk,
-                         metric, pids)
+                         metric, pids, dedup=dedup)
 
 
 def _v5_kernel(metric: str, k: int, slot_mult: int, levels: int, gpb: int,

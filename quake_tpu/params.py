@@ -122,7 +122,7 @@ class IndexBuildParams:
     # reference's heap buffers tolerate imbalance).
     balance_factor: float = 1.5
     # Calibrate the APS recall model's dimension against realized recall on
-    # a small sample at build time (corpora >= 50k only).
+    # a small sample at build time (corpora >= 10k only; index.py gate).
     calibrate_aps: bool = True
     # Profile the production grouped kernel over the (n, k) latency grid at
     # build and feed the maintenance cost estimator (the reference profiles

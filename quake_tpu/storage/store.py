@@ -425,12 +425,17 @@ class PartitionStore:
         vids = to_i64(vids)
         lookup = self.id_map.get_batch(vids)
         present_mask = lookup >= 0
+        if self.spill_map is not None:
+            # Presence is the UNION of both maps: an id resident only in
+            # spill_map (e.g. a spill copy orphaned by partition deletion
+            # before re-homing) must still be compacted and erased.
+            lookup2 = self.spill_map.get_batch(vids)
+            present_mask = present_mask | (lookup2 >= 0)
         present = vids[present_mask]
         if len(present) == 0:
             return 0
-        rows = lookup[present_mask]
+        rows = lookup[lookup >= 0]
         if self.spill_map is not None:
-            lookup2 = self.spill_map.get_batch(vids)
             rows = np.concatenate([rows, lookup2[lookup2 >= 0]])
         rows = np.unique(rows)
         mb = _bucket(len(rows))
