@@ -83,6 +83,7 @@ def aps_loop(
     chunk: int,
     use_precomputed: bool,
     scan_chunk,
+    gamma=None,
 ):
     """The APS while-loop core, shared by the single-device and shard_map
     paths. `scan_chunk(eff)` scans a [B, chunk] pid matrix (-1 = skip) and
@@ -133,7 +134,8 @@ def aps_loop(
         rel = jnp.abs(radius_new - radius) / jnp.maximum(jnp.abs(radius_new), 1e-30)
         recompute = (rel > recompute_threshold) & active
         probs_new = geometry.recall_profile(
-            boundary, radius_new, dimension, "l2", use_precomputed, table, valid
+            boundary, radius_new, dimension, "l2", use_precomputed, table,
+            valid, gamma=gamma,
         )
         probs = jnp.where(recompute[:, None], probs_new, probs)
         radius = jnp.where(recompute, radius_new, radius)
@@ -175,6 +177,7 @@ def aps_search(
     kernel: str = "xla",
     sizes=None,
     norms=None,
+    gamma=None,
 ):
     """Adaptive partition scan with recall-target early termination.
 
@@ -198,15 +201,26 @@ def aps_search(
         q, centroids, pids, dimension, use_precomputed, table
     )
 
-    def scan_chunk(eff):
-        s, si, _ = grouped_scan(
-            codes, ids, sizes, norms, q, eff, k, metric, qt, 64, kernel
-        )
-        return s, si
+    if q.shape[0] <= 128:
+        # Latency mode: at small batch the grouped machinery pays the full
+        # build_groups prologue + kernel grid per while-loop step for a
+        # mostly-empty group layout. A per-rank slab gather ([B, chunk]
+        # partitions per step) is cheap here — the original per-query design,
+        # which only OOMs at production batch. The reference keeps a serial
+        # APS path for exactly this regime (query_coordinator.cpp:471-611).
+        def scan_chunk(eff):
+            s, si, _ = ivf_scan(q, eff, codes, ids, sizes, k, metric)
+            return s, si
+    else:
+        def scan_chunk(eff):
+            s, si, _ = grouped_scan(
+                codes, ids, sizes, norms, q, eff, k, metric, qt, 64, kernel
+            )
+            return s, si
 
     return aps_loop(
         q, pids, boundary, valid, table, recall_target, recompute_threshold,
-        k, metric, dimension, chunk, use_precomputed, scan_chunk,
+        k, metric, dimension, chunk, use_precomputed, scan_chunk, gamma=gamma,
     )
 
 
@@ -265,8 +279,33 @@ def grouped_scan(codes, ids, sizes, norms, q, pids, k: int, metric: str,
     if dedup and (kernel in ("v2", "v3", "v3p")):
         raise ValueError(
             f"kernel {kernel!r} does not support dedup (spilled stores); "
-            "use the default v3pN, v4, v5/v6, or xla backends"
+            "use the default v3pN, v4, v5/v6, v7, or xla backends"
         )
+    if kernel.startswith("v7") or kernel.startswith("v8"):
+        from quake_tpu.ops.pallas_grouped import (
+            grouped_scan_pallas_v7,
+            grouped_scan_pallas_v8,
+        )
+
+        fn = (grouped_scan_pallas_v8 if kernel.startswith("v8")
+              else grouped_scan_pallas_v7)
+        gpb, fold = 4, 128
+        spec = kernel[2:]  # "", "g8", "g4f256", "f256"
+        if "f" in spec:
+            spec, fs = spec.split("f")
+            fold = int(fs)
+        if spec.startswith("g"):
+            gpb = int(spec[1:])
+        C = codes.shape[1]
+        if C % fold:
+            # Fall back to the non-folded packed kernel on odd capacities.
+            from quake_tpu.ops.pallas_grouped import grouped_scan_pallas_v3pn
+
+            return grouped_scan_pallas_v3pn(codes, ids, sizes, norms, q, pids,
+                                            k, metric, qt=qt, gpb=gpb,
+                                            dedup=dedup)
+        return fn(codes, ids, sizes, norms, q, pids,
+                  k, metric, qt=qt, gpb=gpb, fold=fold, dedup=dedup)
     if kernel.startswith("v3p") and len(kernel) > 3:  # v3p2 / v3p4 / ...
         from quake_tpu.ops.pallas_grouped import grouped_scan_pallas_v3pn
 
@@ -294,15 +333,43 @@ def grouped_scan(codes, ids, sizes, norms, q, pids, k: int, metric: str,
                             dedup=dedup)
 
 
+def rank_parents(parent_codes, parent_ids, parent_norms, q, nprobe: int,
+                 metric: str, parent_kernel: str = "approx"):
+    """Ranked candidate partitions (the recursive parent search,
+    query_coordinator.cpp:628-646). parent_kernel: "approx" = XLA matmul +
+    approx_max_k; "pallas" = fused matmul + column-folded packed selection
+    (ops/pallas_flat.py — ~4x less selection time on v5e, quantized rank
+    order). Falls back to approx when the pallas preconditions fail."""
+    Pp, Cp, D = parent_codes.shape
+    N = Pp * Cp
+    if (
+        parent_kernel == "pallas"
+        and parent_norms is not None
+        and N % 128 == 0
+        and N <= 16384
+    ):
+        from quake_tpu.ops.pallas_flat import parent_rank_pallas
+
+        return parent_rank_pallas(parent_codes, parent_ids, parent_norms, q,
+                                  nprobe, metric)
+    _, pids = flat_scan(
+        q, parent_codes.reshape(N, D), parent_ids.reshape(N),
+        nprobe, metric, approx=True,
+    )
+    return pids
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "k", "nprobe", "metric", "qt", "group_chunk", "kernel", "dedup"),
+        "k", "nprobe", "metric", "qt", "group_chunk", "kernel", "dedup",
+        "parent_kernel"),
 )
 def fused_ivf_search(
     codes, ids, sizes, norms, parent_codes, parent_ids, q,
     k: int, nprobe: int, metric: str, qt: int, group_chunk: int,
     kernel: str = "xla", dedup: bool = False,
+    parent_norms=None, parent_kernel: str = "approx",
 ):
     """End-to-end fixed-nprobe search as ONE device program: parent centroid
     scan -> partition-major grouped scan -> top-k merge -> distance
@@ -314,11 +381,8 @@ def fused_ivf_search(
     """
     from quake_tpu.ops.scan import scores_to_distances
 
-    Pp, Cp, D = parent_codes.shape
-    _, pids = flat_scan(
-        q, parent_codes.reshape(Pp * Cp, D), parent_ids.reshape(Pp * Cp),
-        nprobe, metric, approx=True,
-    )
+    pids = rank_parents(parent_codes, parent_ids, parent_norms, q, nprobe,
+                        metric, parent_kernel)
     scores, ids32, scanned = grouped_scan(
         codes, ids, sizes, norms, q, pids, k, metric, qt, group_chunk, kernel,
         dedup=dedup,

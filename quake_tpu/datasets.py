@@ -24,7 +24,13 @@ class Dataset(ABC):
     url: str = ""
     metric: str = "l2"
 
-    def __init__(self, download_dir: str = "data"):
+    def __init__(self, download_dir: str | None = None):
+        # Offline ingestion path: point QUAKE_TPU_DATA_DIR at a directory of
+        # pre-downloaded dataset files (e.g. sift/sift_base.fvecs) and every
+        # loader picks them up without network access — the zero-egress
+        # equivalent of the reference's downloader (ann_datasets.py:43-86).
+        if download_dir is None or download_dir == "data":
+            download_dir = os.environ.get("QUAKE_TPU_DATA_DIR", download_dir or "data")
         self.download_dir = Path(download_dir)
 
     @abstractmethod
@@ -50,15 +56,23 @@ class Sift1m(Dataset):
     url = "ftp://ftp.irisa.fr/local/texmex/corpus/sift.tar.gz"
     metric = "l2"
 
+    def _root(self) -> Path:
+        # Accept both the extracted tarball layout (<dir>/sift/...) and a
+        # flat drop of the three fvecs/ivecs files directly in <dir>.
+        if (self.download_dir / "sift" / "sift_base.fvecs").exists():
+            return self.download_dir / "sift"
+        return self.download_dir
+
     def is_downloaded(self) -> bool:
-        return (self.download_dir / "sift" / "sift_base.fvecs").exists()
+        return (self._root() / "sift_base.fvecs").exists()
 
     def load(self):
         if not self.is_downloaded():
             self.download()
-        base = fvecs_read(str(self.download_dir / "sift" / "sift_base.fvecs"))
-        queries = fvecs_read(str(self.download_dir / "sift" / "sift_query.fvecs"))
-        gt = ivecs_read(str(self.download_dir / "sift" / "sift_groundtruth.ivecs"))
+        root = self._root()
+        base = fvecs_read(str(root / "sift_base.fvecs"))
+        queries = fvecs_read(str(root / "sift_query.fvecs"))
+        gt = ivecs_read(str(root / "sift_groundtruth.ivecs"))
         return base, queries, gt.astype(np.int64)
 
 

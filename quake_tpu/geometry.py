@@ -153,12 +153,20 @@ def log_cap_volume_ratio(radius, boundary, dimension: int, metric: str = "l2",
 
 
 def recall_profile(boundary, radius, dimension: int, metric: str = "l2",
-                   use_precomputed: bool = True, table=None, valid=None):
+                   use_precomputed: bool = True, table=None, valid=None,
+                   gamma=None):
     """Per-partition probability that the true NN lies in each candidate
     partition (geometry.h:345-407), batched over queries.
 
     boundary: [B, M] (rank order, col 0 placeholder); radius: [B];
     valid: optional [B, M] bool marking real (non-padded) candidates.
+    gamma: optional sharpening exponent (p_i ^ gamma before normalization).
+    On unit-norm (IP) corpora the cap volumes are O(1) fractions of the
+    query ball — the profile comes out too flat and APS overscans ~10x the
+    oracle-minimal prefix no matter the model dimension (the dimension lever
+    saturates; measured r3). A calibrated gamma > 1 concentrates the profile
+    on near partitions, restoring near-minimal scanning while the build-time
+    sweep keeps achieved recall above target.
     Returns probs [B, M] summing to 1 per query.
 
     Where the radius is not yet finite (top-k buffer not full), all
@@ -174,6 +182,8 @@ def recall_profile(boundary, radius, dimension: int, metric: str = "l2",
     if valid is not None:
         p = jnp.where(valid, p, 0.0)
     p = jnp.where(jnp.isfinite(R) & (R > 0), p, 0.0)
+    if gamma is not None:
+        p = jnp.power(p, gamma)
     # Heuristic for the nearest partition (geometry.h:379). With a single
     # candidate (M == 1) there is no rank-1 column — the reference raises in
     # that case (geometry.h:345-355); here the home partition keeps all mass

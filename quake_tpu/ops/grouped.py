@@ -104,14 +104,24 @@ def _build_groups_matrix(pids, nlist_cap: int, qt: int):
     return group_pid, qlist, pair_group, pair_slot
 
 
-@functools.partial(jax.jit, static_argnames=("nlist_cap", "qt"))
-def _build_groups_sort(pids, nlist_cap: int, qt: int):
+@functools.partial(jax.jit, static_argnames=("nlist_cap", "qt", "inv_mode"))
+def _build_groups_sort(pids, nlist_cap: int, qt: int, inv_mode: str = "scatter"):
     """Scatter-minimal sort-based build_groups (see build_groups).
 
     One packed-key sort orders pairs by (partition, flat index); per-pid run
     offsets come from vectorized searchsorted; group_pid/qlist are pure
     GATHERS from the sorted order; the only scatter is the inverse
-    permutation (original pair -> sorted position)."""
+    permutation (original pair -> sorted position).
+
+    inv_mode selects how that inverse permutation is computed (kernel_ab15
+    A/B candidates — TPU scatters cost 0.6-0.9 ms at bench shape):
+      "scatter"      one .at[order].set(iota) scatter (default)
+      "searchsorted" inv = searchsorted(key_sorted, keys) — every pair's key
+                     IS in the sorted array, so its insertion point is its
+                     sorted position; log2(n) gather rounds, no scatter
+      "sort"         second sort of (order * n + iota): position j of the
+                     result holds the pair whose sorted position is j
+    """
     B, nprobe = pids.shape
     G = group_layout(B, nprobe, nlist_cap, qt)
     n = B * nprobe
@@ -161,9 +171,17 @@ def _build_groups_sort(pids, nlist_cap: int, qt: int):
     qs = order[jnp.clip(pos, 0, n - 1)] // nprobe
     qlist = jnp.where(g_valid[:, None] & in_run, qs, -1)
 
-    # Pair-major group/slot: rank = sorted position - run offset. The ONE
-    # scatter: invert the sort permutation.
-    inv = jnp.zeros((n,), jnp.int32).at[order].set(iota_n)
+    # Pair-major group/slot: rank = sorted position - run offset.
+    if inv_mode == "searchsorted" and (P + 1) * n <= 2**31 - 1:
+        keys = (flat_pid + 1) * n + iota_n
+        inv = jnp.searchsorted(key_sorted, keys).astype(jnp.int32)
+    elif inv_mode == "sort":
+        # Two-operand sort (key=order, payload=iota): row j of the payload
+        # is the pair whose sorted position is j. (order * n + iota would
+        # overflow int32 at bench shapes.)
+        _, inv = jax.lax.sort((order, iota_n), num_keys=1)
+    else:
+        inv = jnp.zeros((n,), jnp.int32).at[order].set(iota_n)
     rank = inv.reshape(B, nprobe) - offs[jnp.clip(pids, 0, P - 1)]
     ok = pids >= 0
     pair_group = jnp.where(

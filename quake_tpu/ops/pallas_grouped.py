@@ -624,6 +624,331 @@ def grouped_scan_pallas_v3p2(codes, ids, sizes, norms, q, pids, k: int,
                                     metric, qt=qt, gpb=2, interpret=interpret)
 
 
+def _v7_select(scores, valid, k: int, slot_mult: int, levels: int, fold: int):
+    """Column-folded max2 packed selection: top-k rounds over a [QT, fold]
+    reduced row instead of the full [QT, C] row. valid: [QT, C] bool mask.
+
+    Fold pass: the C lanes are viewed as S = C/fold segments; a streaming
+    top-2 keeps the largest (m1) and second-largest (m2) packed value per
+    fold-column (3 VPU ops per segment over [QT, fold]). Each selection
+    round then reduces only [QT, fold]: emit max(m1), demote that column
+    (m1 <- m2, m2 <- -1). Round cost drops from 2 full-row passes (v3p) to
+    ~3*(fold/C) — ~8x at C=1536/fold=128. Differs from the rejected v5/v6
+    chunked selections (BENCH_NOTES): the reduction lives in registers, so
+    there is no per-chunk merge (v5's round multiplication) and no scratch
+    assembly (v6's epilogue cost).
+
+    APPROXIMATE at the column level: a fold-column yields at most two
+    winners, so if >= 3 of a row's true top-k collide in one column
+    (P ~ C(k,3)/fold^2 ~ 0.7% of rows at k=10, fold=128 — and then only one
+    candidate drops, usually beyond the final merged top-k), the third is
+    replaced by the next-ranked lane. The exact top-k guarantee the
+    reference's heap gives (list_scanning.h:39-207) is preserved in
+    expectation by the cross-group merge pool; parity tests assert row
+    overlap, not equality.
+
+    Returns (packed out [QT, k] descending, stats [QT, 2]) — epilogue-
+    compatible with _v3p_select.
+    """
+    QT, C = scores.shape
+    S = C // fold
+    lane = jax.lax.broadcasted_iota(jnp.int32, (QT, C), 1)
+    rowmax = jnp.max(jnp.where(valid, scores, NEG_INF), axis=1, keepdims=True)
+    rowmin = jnp.min(jnp.where(valid, scores, jnp.inf), axis=1, keepdims=True)
+    rng = jnp.maximum(rowmax - rowmin, 1e-20)
+    qk = jnp.floor((scores - rowmin) * (float(levels) / rng))
+    packed = qk * float(slot_mult) + lane.astype(jnp.float32)
+    packed = jnp.where(valid, packed, -1.0)
+
+    out = _v7_fold_rounds(packed, k, fold)
+    stat_lane = jax.lax.broadcasted_iota(jnp.int32, (QT, 2), 1)
+    rm = jnp.where(jnp.isfinite(rowmin), rowmin, 0.0)
+    stats = jnp.where(stat_lane == 0, rm, rng)
+    return out, stats
+
+
+def _v7_kernel(metric: str, k: int, slot_mult: int, levels: int, gpb: int,
+               fold: int, skip: bool = True):
+    """v3pn multi-group kernel body with _v7_select in place of _v3p_select."""
+
+    def kernel(group_pid_ref, group_size_ref, qg_ref, *refs):
+        slab_refs = refs[:gpb]
+        norms_refs = refs[gpb:2 * gpb]
+        out_ref = refs[2 * gpb]
+        stats_ref = refs[2 * gpb + 1]
+        g = pl.program_id(0)
+        for j in range(gpb):
+            size = group_size_ref[gpb * g + j]
+
+            def body(j=j, size=size):
+                qg = qg_ref[j]
+                slab = slab_refs[j][0]
+                prod = jax.lax.dot_general(
+                    qg, slab,
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                scores = (2.0 * prod - norms_refs[j][0, 0][None, :]
+                          if metric == "l2" else prod)
+                lane = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+                out, stats = _v7_select(scores, lane < size, k, slot_mult,
+                                        levels, fold)
+                out_ref[j] = out
+                stats_ref[j] = stats
+
+            if skip:
+                pl.when(size > 0)(body)
+            else:
+                body()
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "metric", "qt", "gpb", "fold", "skip", "dedup",
+                     "interpret"),
+)
+def grouped_scan_pallas_v7(codes, ids, sizes, norms, q, pids, k: int,
+                           metric: str, qt: int = 32, gpb: int = 4,
+                           fold: int = 128, skip: bool = True,
+                           dedup: bool = False, interpret: bool = False):
+    """Column-folded-selection grouped scan (see _v7_select). Same inputs/
+    returns as grouped_scan_pallas_v3pn; selection is approximate at the
+    fold-column level (exact rescore of winners still applies). Requires
+    C % fold == 0 — callers fall back to v3pn otherwise."""
+    B, D = q.shape
+    P, C, _ = codes.shape
+    if P >= 32768 or C > 65536:
+        raise ValueError("v7 packs (pid, slot) into int32: needs P < 32768, C <= 65536")
+    if C % fold:
+        raise ValueError(f"v7 needs C % fold == 0 (C={C}, fold={fold})")
+    kk = min(k, C)
+    slot_mult = max(1 << (int(C - 1).bit_length()), 2)
+    levels = (1 << 24) // slot_mult - 2
+    group_pid, qlist, pair_group, pair_slot = build_groups(pids, P, qt)
+    G = group_pid.shape[0]
+    Gn = -(-G // gpb) * gpb
+    gp = jnp.pad(group_pid, (0, Gn - G), constant_values=-1)
+    ql = jnp.pad(qlist, ((0, Gn - G), (0, 0)), constant_values=-1)
+    group_size = jnp.where(gp >= 0, sizes[jnp.maximum(gp, 0)], 0).astype(jnp.int32)
+    safe_q = jnp.where(ql >= 0, ql, 0)
+    qg = q.astype(codes.dtype)[safe_q]  # [Gn, QT, D]
+
+    def slab_spec(j):
+        return pl.BlockSpec(
+            (1, C, D), lambda g, gp_, gs: (jnp.maximum(gp_[gpb * g + j], 0), 0, 0)
+        )
+
+    def norms_spec(j):
+        return pl.BlockSpec(
+            (1, 1, C), lambda g, gp_, gs: (jnp.maximum(gp_[gpb * g + j], 0), 0, 0)
+        )
+
+    kernel = _v7_kernel(metric, kk, slot_mult, levels, gpb, fold, skip=skip)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(Gn // gpb,),
+        in_specs=(
+            [pl.BlockSpec((gpb, qt, D), lambda g, gp_, gs: (g, 0, 0))]
+            + [slab_spec(j) for j in range(gpb)]
+            + [norms_spec(j) for j in range(gpb)]
+        ),
+        out_specs=[
+            pl.BlockSpec((gpb, qt, kk), lambda g, gp_, gs: (g, 0, 0)),
+            pl.BlockSpec((gpb, qt, 2), lambda g, gp_, gs: (g, 0, 0)),
+        ],
+    )
+    out_shape = [
+        jax.ShapeDtypeStruct((Gn, qt, kk), jnp.float32),
+        jax.ShapeDtypeStruct((Gn, qt, 2), jnp.float32),
+    ]
+    norms3 = norms.reshape(P, 1, C)
+    g_packed, g_stats = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(gp, group_size, qg, *([codes] * gpb), *([norms3] * gpb))
+    return _v3p_epilogue(
+        g_packed, g_stats, gp, pair_group, pair_slot, pids, safe_q,
+        codes, ids, norms, q, k, kk, metric, slot_mult, levels,
+        alive=(group_size > 0) if skip else None, dedup=dedup,
+    )
+
+
+def _v7_fold_rounds(packed, k: int, fold: int):
+    """Shared fold + max2 top-k rounds over a packed [QT, C] matrix.
+    Returns out [QT, k] packed (descending)."""
+    QT, C = packed.shape
+    S = C // fold
+    m1 = packed[:, 0:fold]
+    m2 = jnp.full((QT, fold), -1.0, jnp.float32)
+    for j in range(1, S):
+        seg = packed[:, j * fold:(j + 1) * fold]
+        m2 = jnp.maximum(m2, jnp.minimum(m1, seg))
+        m1 = jnp.maximum(m1, seg)
+    out_lane = jax.lax.broadcasted_iota(jnp.int32, (QT, k), 1)
+
+    def select_round(i, carry):
+        m1c, m2c, out = carry
+        best = jnp.max(m1c, axis=1, keepdims=True)
+        out = jnp.where(out_lane == i, best, out)
+        hit = m1c == best
+        m1c = jnp.where(hit, m2c, m1c)
+        m2c = jnp.where(hit, -1.0, m2c)
+        return m1c, m2c, out
+
+    init = (m1, m2, jnp.full((QT, k), -1.0, jnp.float32))
+    _, _, out = lax.fori_loop(0, k, select_round, init)
+    return out
+
+
+def _v8_kernel(k: int, slot_mult: int, levels: int, gpb: int, fold: int):
+    """v8 (global-scale v7) kernel body: the quantize prologue is ONE fused
+    elementwise chain — no per-row reduces, no stats output.
+
+    The wrapper pre-scales queries (q' = q * levels/grange) and pre-shifts
+    the cached norms (norms' = (||x||^2 + gmin) * levels/grange), so the
+    in-kernel quantized key is just floor(2*prod - norms') clipped to
+    [0, levels]: the per-row rowmax/rowmin reduction passes of v3p/v7
+    (2 full [QT, C] reduces per group) disappear, and the dequantize uses
+    two scalars instead of a [G, QT, 2] stats array."""
+
+    def kernel(group_pid_ref, group_size_ref, qg_ref, *refs):
+        slab_refs = refs[:gpb]
+        norms_refs = refs[gpb:2 * gpb]
+        out_ref = refs[2 * gpb]
+        g = pl.program_id(0)
+        for j in range(gpb):
+            size = group_size_ref[gpb * g + j]
+
+            def body(j=j, size=size):
+                qg = qg_ref[j]
+                slab = slab_refs[j][0]
+                prod = jax.lax.dot_general(
+                    qg, slab,
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                qk = jnp.clip(jnp.floor(2.0 * prod - norms_refs[j][0, 0][None, :]),
+                              0.0, float(levels))
+                QT, C = qk.shape
+                lane = jax.lax.broadcasted_iota(jnp.int32, (QT, C), 1)
+                packed = qk * float(slot_mult) + lane.astype(jnp.float32)
+                packed = jnp.where(lane < size, packed, -1.0)
+                out_ref[j] = _v7_fold_rounds(packed, k, fold)
+
+            pl.when(size > 0)(body)
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "metric", "qt", "gpb", "fold", "dedup", "interpret"),
+)
+def grouped_scan_pallas_v8(codes, ids, sizes, norms, q, pids, k: int,
+                            metric: str, qt: int = 32, gpb: int = 4,
+                            fold: int = 128, dedup: bool = False,
+                            interpret: bool = False):
+    """v8: global-scale column-folded grouped scan (see _v8_kernel).
+
+    Same inputs/returns as grouped_scan_pallas_v3pn. Selection order is by a
+    globally-quantized 13-bit key (score bounds estimated from the batch's
+    max query norm and the store's max vector norm), so per-row resolution
+    is coarser than v7's per-row scale — winners are exact-rescored as
+    always, and membership differs only at global-quantization ties.
+    """
+    B, D = q.shape
+    P, C, _ = codes.shape
+    if P >= 32768 or C > 65536:
+        raise ValueError("v8 packs (pid, slot) into int32: needs P < 32768, C <= 65536")
+    if C % fold:
+        raise ValueError(f"v8 needs C % fold == 0 (C={C}, fold={fold})")
+    kk = min(k, C)
+    slot_mult = max(1 << (int(C - 1).bit_length()), 2)
+    levels = (1 << 24) // slot_mult - 2
+
+    # Global score bounds (l2 internal score s = 2<q,x> - ||x||^2 lies in
+    # [-(maxx^2 + 2 maxq maxx), maxq^2]; ip score in +-maxq*maxx).
+    qf = q.astype(jnp.float32)
+    q_sq = jnp.sum(qf * qf, axis=1)
+    maxq2 = jnp.max(q_sq)
+    maxx2 = jnp.maximum(jnp.max(norms), 1e-12)
+    maxqx = jnp.sqrt(maxq2) * jnp.sqrt(maxx2)
+    if metric == "l2":
+        gmin = -(maxx2 + 2.0 * maxqx)
+        gmax = maxq2
+    else:
+        gmin = -maxqx
+        gmax = maxqx
+    grange = jnp.maximum(gmax - gmin, 1e-20)
+    ginv = float(levels) / grange
+    normsT = ((norms if metric == "l2" else jnp.zeros_like(norms)) + gmin) * ginv
+
+    group_pid, qlist, pair_group, pair_slot = build_groups(pids, P, qt)
+    G = group_pid.shape[0]
+    Gn = -(-G // gpb) * gpb
+    gp = jnp.pad(group_pid, (0, Gn - G), constant_values=-1)
+    ql = jnp.pad(qlist, ((0, Gn - G), (0, 0)), constant_values=-1)
+    group_size = jnp.where(gp >= 0, sizes[jnp.maximum(gp, 0)], 0).astype(jnp.int32)
+    safe_q = jnp.where(ql >= 0, ql, 0)
+    q_scaled = (qf * ginv).astype(codes.dtype)
+    qg = q_scaled[safe_q]  # [Gn, QT, D]
+
+    def slab_spec(j):
+        return pl.BlockSpec(
+            (1, C, D), lambda g, gp_, gs: (jnp.maximum(gp_[gpb * g + j], 0), 0, 0)
+        )
+
+    def norms_spec(j):
+        return pl.BlockSpec(
+            (1, 1, C), lambda g, gp_, gs: (jnp.maximum(gp_[gpb * g + j], 0), 0, 0)
+        )
+
+    kernel = _v8_kernel(kk, slot_mult, levels, gpb, fold)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(Gn // gpb,),
+        in_specs=(
+            [pl.BlockSpec((gpb, qt, D), lambda g, gp_, gs: (g, 0, 0))]
+            + [slab_spec(j) for j in range(gpb)]
+            + [norms_spec(j) for j in range(gpb)]
+        ),
+        out_specs=[
+            pl.BlockSpec((gpb, qt, kk), lambda g, gp_, gs: (g, 0, 0)),
+        ],
+    )
+    out_shape = [jax.ShapeDtypeStruct((Gn, qt, kk), jnp.float32)]
+    (g_packed,) = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(gp, group_size, qg, *([codes] * gpb), *([normsT.reshape(P, 1, C)] * gpb))
+
+    # Epilogue: decode + dequantize with the two global scalars.
+    alive = group_size > 0
+    valid = (g_packed >= 0.0) & alive[:, None, None]
+    slots = jnp.mod(g_packed, float(slot_mult)).astype(jnp.int32)
+    keys = jnp.floor(g_packed / float(slot_mult))
+    approx = gmin + keys * (grange / float(levels))
+    if metric == "l2":
+        approx = approx - q_sq[safe_q][:, :, None]
+    approx = jnp.where(valid, approx, NEG_INF)
+    gpid_b = jnp.broadcast_to(jnp.maximum(gp, 0)[:, None, None], slots.shape)
+    refs = jnp.where(valid, (gpid_b << 16) | slots, -1)
+    ok = pair_group >= 0
+    pg = jnp.where(ok, pair_group, 0)
+    m_scores = jnp.where(
+        ok[:, :, None], approx[pg, pair_slot], NEG_INF
+    ).reshape(B, -1)
+    m_refs = jnp.where(ok[:, :, None], refs[pg, pair_slot], -1).reshape(B, -1)
+    return _rescore_topk(m_scores, m_refs, codes, ids, norms, q, k, kk,
+                         metric, pids, dedup=dedup)
+
+
 def _v4_kernel(metric: str, k: int, slot_mult: int, levels: int, gpb: int,
                mat_qg: bool = False):
     """v4 chunked kernel body: one v3p selection per (partition, query-tile,

@@ -131,7 +131,7 @@ def sharded_aps_search(mesh, codes, ids, centroids, q, pids, recall_target,
                        dimension: int, chunk: int = 4,
                        use_precomputed: bool = True, table=None,
                        qt: int = 32, group_chunk: int = 64,
-                       strategy: str | None = None):
+                       strategy: str | None = None, gamma=None):
     """Recall-target (APS) search over sharded slabs.
 
     The whole APS while-loop runs inside shard_map: each chunk's grouped
@@ -188,7 +188,7 @@ def sharded_aps_search(mesh, codes, ids, centroids, q, pids, recall_target,
         return aps_loop(
             q_l, pids_l, boundary, valid, table_l, recall_target,
             recompute_threshold, k, metric, dimension, chunk,
-            use_precomputed, scan_chunk,
+            use_precomputed, scan_chunk, gamma=gamma,
         )
 
     if strategy == "slot":
@@ -250,24 +250,48 @@ def sharded_kmeans_step(mesh, x_sharded, centroids, metric: str = "l2"):
 def sharded_fused_search(mesh, codes, ids, norms, parent_codes, parent_ids, q,
                          k: int, nprobe: int, metric: str,
                          qt: int = 64, group_chunk: int = 64,
-                         dedup: bool = False):
+                         dedup: bool = False, shard_parents: bool = True):
     """End-to-end fixed-nprobe search over the mesh as one program:
-    replicated parent centroid scan -> per-shard partition-major grouped scan
+    SHARDED parent centroid scan -> per-shard partition-major grouped scan
     of the local slab slice -> all_gather top-k merge -> distances.
 
     Works with slot sharding (codes [P, C, D] sharded on axis 1): every
     device scans its 1/ndev slice of each probed partition, so the grouped
     scan's bandwidth splits evenly across the mesh.
+
+    shard_parents: split the centroid buffer row-wise across the mesh; each
+    device ranks its 1/ndev of the centroids and one all_gather +
+    [B, ndev*nprobe] top-k merge yields the EXACT global candidate ranking
+    (the union of per-shard top-nprobe contains the global top-nprobe).
+    Round-2 measured the replicated parent scan + prologue as the Amdahl
+    share capping mesh scaling (per-device bytes 0.25x at ndev=8 vs the
+    ideal 0.125x, experiments/shard_work_division.py); this removes the
+    parent's share of it. Reference analog: jobs, not coordination, dominate
+    its worker pool (query_coordinator.cpp:243-469).
     """
     from quake_tpu.ops.grouped import grouped_scan_xla
     from quake_tpu.ops.scan import scores_to_distances
 
+    ndev = mesh.devices.size
+    Pp, Cp, D = parent_codes.shape
+    N = Pp * Cp
+    pc_flat = parent_codes.reshape(N, D)
+    pi_flat = parent_ids.reshape(N)
+    shard_parents = shard_parents and N % ndev == 0 and N // ndev >= nprobe
+
     def local(codes_l, ids_l, norms_l, pcodes_l, pids_l, q_l):
-        Pp, Cp, D = pcodes_l.shape
-        _, probe = flat_scan(
-            q_l, pcodes_l.reshape(Pp * Cp, D), pids_l.reshape(Pp * Cp),
-            nprobe, metric, approx=True,
-        )
+        if shard_parents:
+            ls, lp = flat_scan(q_l, pcodes_l, pids_l, nprobe, metric,
+                               approx=True)
+            all_s = lax.all_gather(ls, SHARD_AXIS)  # [ndev, B, nprobe]
+            all_p = lax.all_gather(lp, SHARD_AXIS)
+            nd, B, np_ = all_s.shape
+            all_s = jnp.moveaxis(all_s, 0, 1).reshape(B, nd * np_)
+            all_p = jnp.moveaxis(all_p, 0, 1).reshape(B, nd * np_)
+            _, probe = topk_from_scores(all_s, all_p, nprobe)
+        else:
+            _, probe = flat_scan(q_l, pcodes_l, pids_l, nprobe, metric,
+                                 approx=True)
         s, i, scanned = grouped_scan_xla(
             codes_l, ids_l, q_l, probe, k, metric, qt=qt,
             group_chunk=group_chunk, norms=norms_l, dedup=dedup,
@@ -275,12 +299,13 @@ def sharded_fused_search(mesh, codes, ids, norms, parent_codes, parent_ids, q,
         ms, mi = _merge_gathered(s, i, k, SHARD_AXIS, dedup=dedup)
         return ms, mi, scores_to_distances(ms, mi, metric), scanned, probe
 
+    parent_spec = P(SHARD_AXIS) if shard_parents else P()
     fn = jax.shard_map(
         local,
         mesh=mesh,
         in_specs=(P(None, SHARD_AXIS), P(None, SHARD_AXIS), P(None, SHARD_AXIS),
-                  P(), P(), P()),
+                  parent_spec, parent_spec, P()),
         out_specs=(P(), P(), P(), P(), P()),
         check_vma=False,
     )
-    return fn(codes, ids, norms, parent_codes, parent_ids, q)
+    return fn(codes, ids, norms, pc_flat, pi_flat, q)

@@ -24,6 +24,8 @@ def get_index_class(index_name: str):
         from quake_tpu.wrappers.faiss_hnsw import FaissHNSW as IndexClass
     elif index_name == "BruteForce":
         from quake_tpu.wrappers.brute import BruteForceWrapper as IndexClass
+    elif index_name == "NumpyIVF":
+        from quake_tpu.wrappers.numpy_ivf import NumpyIVF as IndexClass
     elif index_name == "DiskANN":
         from quake_tpu.wrappers.diskann import DiskANNDynamic as IndexClass
     elif index_name == "ScaNN":

@@ -38,6 +38,17 @@ def run(config_path: str, output_root: str = "regression_results", name: str = "
 
     ds_cfg = dict(cfg["dataset"])
     ds_name = ds_cfg.pop("name")
+    if cfg.get("skip_if_unavailable"):
+        # Real-dataset configs (e.g. SIFT1M) activate only when the files
+        # are already present (QUAKE_TPU_DATA_DIR offline drop) or the
+        # environment has network access for the downloader.
+        from quake_tpu.datasets import _REGISTRY
+
+        ds = _REGISTRY[ds_name.lower()](ds_cfg.get("download_dir"))
+        if not ds.is_downloaded() and not os.environ.get("QUAKE_TPU_ALLOW_DOWNLOAD"):
+            print(f"SKIP {cfg['name']}: dataset {ds_name!r} not available "
+                  "(set QUAKE_TPU_DATA_DIR or QUAKE_TPU_ALLOW_DOWNLOAD=1)")
+            return []
     vectors, queries, _ = load_dataset(ds_name, **ds_cfg)
 
     out_dir = Path(output_root) / name / cfg["name"]

@@ -212,3 +212,50 @@ def test_aps_adherence_isotropic_d64_after_calibration():
                                      initial_search_fraction=0.75))
     achieved = compute_recall(res.ids, gt, 10)
     assert achieved >= 0.9 - 0.03, achieved
+
+
+def test_aps_ip_adherence_and_efficiency():
+    """IP (unit-norm) adherence AND efficiency (round-3 VERDICT #4): the
+    dimension lever saturates on the sphere (cap volumes are O(1) fractions
+    of the ball), so calibration adds a profile-sharpening gamma. Achieved
+    recall must meet the target, and scanned partitions must stay within
+    1.5x the fixed-nprobe cost of the SAME achieved recall (pre-fix: 21
+    scanned where 8 sufficed)."""
+    from quake_tpu import IndexBuildParams, QuakeIndex, SearchParams
+    from quake_tpu.utils import compute_recall, knn
+
+    rng = np.random.default_rng(3)
+    n, d, nc = 20_000, 32, 64
+    centers = rng.standard_normal((128, d)).astype(np.float32) * 1.2
+    assign = rng.integers(0, 128, n)
+    x = centers[assign] + rng.standard_normal((n, d)).astype(np.float32)
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    qa = rng.integers(0, 128, 64)
+    q = centers[qa] + rng.standard_normal((64, d)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+
+    idx = QuakeIndex()
+    idx.build(x, np.arange(n, dtype=np.int64),
+              IndexBuildParams(nlist=nc, metric="ip"))
+    assert idx.aps_gamma > 1.0  # calibration engaged the sharpening stage
+    gt, _ = knn(q, x, 10, "ip")
+
+    res = idx.search(q, SearchParams(k=10, recall_target=0.9,
+                                     initial_search_fraction=0.6,
+                                     recompute_threshold=0.0,
+                                     aps_chunk_size=4))
+    achieved = compute_recall(res.ids, gt, 10)
+    scanned = res.timing_info.partitions_scanned
+    assert achieved >= 0.9, achieved
+
+    # Equal-recall fixed-nprobe cost: the honest efficiency oracle (per-query
+    # oracle-minimal prefixes are unreachable under chunked termination).
+    np_eq = None
+    for npb in range(2, nc + 1, 2):
+        r = idx.search(q, SearchParams(k=10, nprobe=npb))
+        if compute_recall(r.ids, gt, 10) >= achieved - 0.005:
+            np_eq = npb
+            break
+    assert np_eq is not None
+    assert scanned <= 1.5 * np_eq + 1, (scanned, np_eq)
+    assert scanned <= 15  # absolute regression guard (pre-fix: 21)

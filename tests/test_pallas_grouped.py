@@ -323,3 +323,201 @@ def test_v5_kernel_interpret_matches_xla(metric):
         np.testing.assert_array_equal(np.asarray(n1), np.asarray(n2))
         for b in range(B):
             assert set(np.asarray(i1)[b].tolist()) == set(np.asarray(i2)[b].tolist())
+
+
+@pytest.mark.parametrize("C", [128, 256])
+@pytest.mark.parametrize("metric", ["l2", "ip"])
+def test_v7_kernel_interpret_matches_xla(metric, C):
+    """v7 column-folded max2 selection: at S = C/fold <= 2 every fold-column
+    holds <= 2 lanes, so max2 capture is lossless and parity must be EXACT
+    (incl. poisoned pads, empty partitions, ghost-tail masking)."""
+    from quake_tpu.ops.pallas_grouped import grouped_scan_pallas_v7
+
+    rng = np.random.default_rng(7)
+    P, D, B, nprobe, k, qt = 8, 16, 12, 3, 5, 8
+    codes = rng.standard_normal((P, C, D)).astype(np.float32)
+    ids = np.arange(P * C, dtype=np.int32).reshape(P, C)
+    sizes = np.zeros(P, np.int32)
+    for p in range(P):
+        sizes[p] = rng.integers(0, C + 1)
+        ids[p, sizes[p]:] = -1
+        codes[p, sizes[p]:] = 10.0  # poison: pads must never surface
+    norms = (codes.astype(np.float32) ** 2).sum(axis=2)
+    q = rng.standard_normal((B, D)).astype(np.float32)
+    pids = rng.integers(0, P, (B, nprobe)).astype(np.int32)
+    pids[0, 1:] = -1
+
+    clean = codes.copy()
+    for p in range(P):
+        clean[p, sizes[p]:] = 0.0
+    s1, i1, n1 = grouped_scan_xla(
+        jnp.asarray(clean), jnp.asarray(ids), jnp.asarray(q), jnp.asarray(pids),
+        k, metric, qt=qt, group_chunk=4,
+    )
+    s2, i2, n2 = grouped_scan_pallas_v7(
+        jnp.asarray(codes), jnp.asarray(ids), jnp.asarray(sizes),
+        jnp.asarray(norms), jnp.asarray(q), jnp.asarray(pids), k, metric,
+        qt=qt, gpb=3, fold=128, interpret=True)
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), rtol=1e-4, atol=1e-4)
+    np.testing.assert_array_equal(np.asarray(n1), np.asarray(n2))
+    for b in range(B):
+        assert set(np.asarray(i1)[b].tolist()) == set(np.asarray(i2)[b].tolist())
+
+
+def test_v7_s3_overlap_and_exact_scores():
+    """At S=3 a fold-column can hold 3 lanes, so v7 may drop a candidate when
+    >= 3 of a row's top-k collide in one column (~0.7% of rows). Returned
+    candidates must still carry EXACT scores (rescore epilogue) and overlap
+    the exact top-k in >= k-1 positions per row."""
+    from quake_tpu.ops.pallas_grouped import grouped_scan_pallas_v7
+
+    rng = np.random.default_rng(8)
+    P, C, D, B, nprobe, k, qt = 8, 384, 16, 32, 4, 8, 8
+    codes = rng.standard_normal((P, C, D)).astype(np.float32)
+    ids = np.arange(P * C, dtype=np.int32).reshape(P, C)
+    sizes = np.full(P, C, np.int32)
+    norms = (codes.astype(np.float32) ** 2).sum(axis=2)
+    q = rng.standard_normal((B, D)).astype(np.float32)
+    pids = np.stack(
+        [rng.permutation(P)[:nprobe] for _ in range(B)]
+    ).astype(np.int32)
+
+    s1, i1, _ = grouped_scan_xla(
+        jnp.asarray(codes), jnp.asarray(ids), jnp.asarray(q), jnp.asarray(pids),
+        k, "l2", qt=qt, group_chunk=4,
+    )
+    s2, i2, _ = grouped_scan_pallas_v7(
+        jnp.asarray(codes), jnp.asarray(ids), jnp.asarray(sizes),
+        jnp.asarray(norms), jnp.asarray(q), jnp.asarray(pids), k, "l2",
+        qt=qt, gpb=3, fold=128, interpret=True)
+    i1, i2 = np.asarray(i1), np.asarray(i2)
+    s1, s2 = np.asarray(s1), np.asarray(s2)
+    total_overlap = 0
+    for b in range(B):
+        ov = len(set(i1[b].tolist()) & set(i2[b].tolist()))
+        assert ov >= k - 1, (b, i1[b], i2[b])
+        total_overlap += ov
+        # scores of returned ids are exact
+        exact = {i: s for i, s in zip(i1[b], s1[b])}
+        for i, s in zip(i2[b], s2[b]):
+            if i in exact:
+                np.testing.assert_allclose(s, exact[i], rtol=1e-4, atol=1e-4)
+    assert total_overlap >= B * k * 0.97
+
+
+def test_v7_dedup_spilled():
+    """v7 with dedup: no duplicate ids in results from a spilled layout."""
+    from quake_tpu.ops.pallas_grouped import grouped_scan_pallas_v7
+
+    rng = np.random.default_rng(9)
+    P, C, D, B, k, qt = 6, 128, 16, 8, 5, 8
+    nvec = P * C // 4
+    vecs = rng.standard_normal((nvec, D)).astype(np.float32)
+    a1 = rng.integers(0, P, nvec)
+    a2 = (a1 + 1 + rng.integers(0, P - 1, nvec)) % P
+    codes = np.zeros((P, C, D), np.float32)
+    ids = np.full((P, C), -1, np.int32)
+    sizes = np.zeros(P, np.int32)
+    for v in range(nvec):
+        for p in (a1[v], a2[v]):
+            codes[p, sizes[p]] = vecs[v]
+            ids[p, sizes[p]] = v
+            sizes[p] += 1
+    norms = (codes ** 2).sum(axis=2)
+    q = rng.standard_normal((B, D)).astype(np.float32)
+    pids = np.stack([rng.permutation(P)[:4] for _ in range(B)]).astype(np.int32)
+
+    _, i2, _ = grouped_scan_pallas_v7(
+        jnp.asarray(codes), jnp.asarray(ids), jnp.asarray(sizes),
+        jnp.asarray(norms), jnp.asarray(q), jnp.asarray(pids), k, "l2",
+        qt=qt, gpb=2, dedup=True, interpret=True)
+    i2 = np.asarray(i2)
+    for b in range(B):
+        valid = i2[b][i2[b] >= 0]
+        assert len(valid) == len(set(valid.tolist()))
+
+
+@pytest.mark.parametrize("metric", ["l2", "ip"])
+def test_parent_rank_pallas_matches_exact(metric):
+    """Pallas parent ranking: candidate sets match exact top-nprobe ranking
+    (quantized-order kernel; allow <= 1 boundary swap per row)."""
+    from quake_tpu.ops.pallas_flat import parent_rank_pallas
+
+    rng = np.random.default_rng(10)
+    Pp, Cp, D, B, nprobe = 2, 128, 16, 40, 8
+    codes = rng.standard_normal((Pp, Cp, D)).astype(np.float32)
+    ids = np.arange(Pp * Cp, dtype=np.int32).reshape(Pp, Cp)
+    ids[1, 100:] = -1  # padding slots
+    codes[1, 100:] = 10.0  # poison
+    norms = (codes.astype(np.float32) ** 2).sum(axis=2)
+    q = rng.standard_normal((B, D)).astype(np.float32)
+
+    pids = np.asarray(parent_rank_pallas(
+        jnp.asarray(codes), jnp.asarray(ids), jnp.asarray(norms),
+        jnp.asarray(q), nprobe, metric, qt=8, interpret=True))
+
+    flat = codes.reshape(-1, D)
+    fids = ids.reshape(-1)
+    valid = np.where(fids >= 0)[0]
+    total = 0
+    for b in range(B):
+        if metric == "l2":
+            d2 = ((flat[valid] - q[b]) ** 2).sum(1)
+            want = fids[valid[np.argsort(d2)[:nprobe]]]
+        else:
+            want = fids[valid[np.argsort(-(flat[valid] @ q[b]))[:nprobe]]]
+        got = pids[b][pids[b] >= 0]
+        assert (got >= 0).all() and len(set(got.tolist())) == len(got)
+        ov = len(set(got.tolist()) & set(want.tolist()))
+        assert ov >= nprobe - 1, (b, got, want)
+        total += ov
+        # rank order: first candidate should be the true nearest
+        assert got[0] == want[0], (b, got, want)
+    assert total >= B * nprobe * 0.99
+
+
+@pytest.mark.parametrize("C", [128, 256])
+@pytest.mark.parametrize("metric", ["l2", "ip"])
+def test_v8_kernel_interpret_matches_xla(metric, C):
+    """v8 global-scale quantization: selection order uses a batch-global
+    13-bit key, so membership can differ only at global-quantization ties
+    (rare on continuous data); returned candidates carry EXACT scores.
+    Requires >= k-1 per-row overlap with the oracle and exact scores for
+    overlapping ids; empty partitions + poisoned pads must never surface."""
+    from quake_tpu.ops.pallas_grouped import grouped_scan_pallas_v8
+
+    rng = np.random.default_rng(11)
+    P, D, B, nprobe, k, qt = 8, 16, 12, 3, 5, 8
+    codes = rng.standard_normal((P, C, D)).astype(np.float32)
+    ids = np.arange(P * C, dtype=np.int32).reshape(P, C)
+    sizes = np.zeros(P, np.int32)
+    for p in range(P):
+        sizes[p] = rng.integers(0, C + 1)
+        ids[p, sizes[p]:] = -1
+        codes[p, sizes[p]:] = 10.0  # poison
+    norms = (codes.astype(np.float32) ** 2).sum(axis=2)
+    q = rng.standard_normal((B, D)).astype(np.float32)
+    pids = np.stack([rng.permutation(P)[:nprobe] for _ in range(B)]).astype(np.int32)
+    pids[0, 1:] = -1
+
+    clean = codes.copy()
+    for p in range(P):
+        clean[p, sizes[p]:] = 0.0
+    s1, i1, n1 = grouped_scan_xla(
+        jnp.asarray(clean), jnp.asarray(ids), jnp.asarray(q), jnp.asarray(pids),
+        k, metric, qt=qt, group_chunk=4,
+    )
+    s2, i2, n2 = grouped_scan_pallas_v8(
+        jnp.asarray(codes), jnp.asarray(ids), jnp.asarray(sizes),
+        jnp.asarray(norms), jnp.asarray(q), jnp.asarray(pids), k, metric,
+        qt=qt, gpb=3, fold=128, interpret=True)
+    s1, i1 = np.asarray(s1), np.asarray(i1)
+    s2, i2 = np.asarray(s2), np.asarray(i2)
+    np.testing.assert_array_equal(np.asarray(n1), np.asarray(n2))
+    for b in range(B):
+        set1, set2 = set(i1[b].tolist()), set(i2[b].tolist())
+        assert len(set1 & set2) >= min(k, len(set1)) - 1, (b, i1[b], i2[b])
+        exact = {i: s for i, s in zip(i1[b], s1[b])}
+        for i, s in zip(i2[b], s2[b]):
+            if i in exact and i >= 0:
+                np.testing.assert_allclose(s, exact[i], rtol=1e-4, atol=1e-4)

@@ -180,3 +180,38 @@ def test_sharded_maintenance_and_validate(small_data):
     res = idx.search(q, SearchParams(k=10, nprobe=idx.nlist()))
     gt_ids, _ = knn(q, x, 10, "l2")
     assert compute_recall(res.ids, gt_ids, 10) >= 0.99
+
+
+def test_sharded_fused_parent_sharding_parity(small_data):
+    """Parent-sharded fused search (round 3: the centroid scan splits across
+    the mesh, one all_gather + [B, ndev*nprobe] merge restores the exact
+    global candidate ranking) must return the same results as the replicated
+    parent scan AND as the single-device search."""
+    from quake_tpu.parallel.sharded import sharded_fused_search
+
+    x, ids, q = small_data
+    idx = QuakeIndex()
+    idx.build(x, ids, IndexBuildParams(nlist=128))
+    res_single = idx.search(q, SearchParams(k=10, nprobe=8))
+
+    idx.shard(len(jax.devices()))
+    state = idx.store.state
+    pstate = idx.parent.store.state
+    N = pstate.codes.shape[0] * pstate.codes.shape[1]
+    assert N % len(jax.devices()) == 0 and N // len(jax.devices()) >= 8, N
+
+    out = {}
+    for sp in (True, False):
+        s, i, d, scanned, probe = sharded_fused_search(
+            idx.mesh, state.codes, state.ids, state.norms,
+            pstate.codes, pstate.ids, jnp.asarray(q),
+            k=10, nprobe=8, metric="l2", qt=8, group_chunk=16,
+            shard_parents=sp,
+        )
+        out[sp] = (np.asarray(i), np.asarray(d), np.asarray(probe))
+    np.testing.assert_array_equal(out[True][0], out[False][0])
+    np.testing.assert_allclose(out[True][1], out[False][1], rtol=1e-5, atol=1e-5)
+    # probe SETS match (order may differ at equal-score ties)
+    for b in range(len(q)):
+        assert set(out[True][2][b].tolist()) == set(out[False][2][b].tolist())
+    np.testing.assert_array_equal(out[True][0], np.asarray(res_single.ids))

@@ -154,3 +154,59 @@ def test_faiss_ivf_wrapper_smoke():
     w.add(new, np.arange(10_000, 10_100, dtype=np.int64))
     w.remove(ids[:100])
     assert w.n_total() == 5000
+
+
+def test_numpy_ivf_wrapper_executes():
+    """The ALWAYS-executed competitor baseline (no optional deps): build/
+    search/add/remove/save/load with recall checks vs the oracle — the analog
+    of the reference's Faiss-IVF smoke (test_basic.py:1-51), guaranteed to
+    run in the zero-egress image."""
+    import tempfile
+
+    from quake_tpu.utils import compute_recall, knn
+    from quake_tpu.wrappers.numpy_ivf import NumpyIVF
+    from quake_tpu.wrappers.wrapper import get_index_class
+
+    assert get_index_class("NumpyIVF") is NumpyIVF
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((5000, 16)).astype(np.float32)
+    ids = np.arange(5000, dtype=np.int64)
+    q = rng.standard_normal((50, 16)).astype(np.float32)
+    gt_ids, _ = knn(q, x, 10, "l2")
+
+    w = NumpyIVF()
+    w.build(x, nc=16, metric="l2", ids=ids)
+    assert w.n_total() == 5000 and w.d() == 16
+    res = w.search(q, k=10, nprobe=16)  # full probe -> exact
+    assert compute_recall(res.ids, gt_ids, 10) >= 0.999
+    res4 = w.search(q, k=10, nprobe=4)
+    r4 = compute_recall(res4.ids, gt_ids, 10)
+    assert 0.3 < r4 <= 1.0
+
+    new = rng.standard_normal((100, 16)).astype(np.float32)
+    w.add(new, np.arange(10_000, 10_100, dtype=np.int64))
+    w.remove(ids[:100])
+    assert w.n_total() == 5000
+    with tempfile.TemporaryDirectory() as td:
+        w.save(td)
+        w2 = NumpyIVF()
+        w2.load(td)
+        assert w2.n_total() == 5000
+        a = w.search(q, k=5, nprobe=16)
+        b = w2.search(q, k=5, nprobe=16)
+        np.testing.assert_array_equal(a.ids, b.ids)
+
+
+def test_numpy_ivf_ip_metric():
+    from quake_tpu.utils import compute_recall, knn
+    from quake_tpu.wrappers.numpy_ivf import NumpyIVF
+
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal((3000, 16)).astype(np.float32)
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    q = rng.standard_normal((40, 16)).astype(np.float32)
+    gt_ids, _ = knn(q, x, 10, "ip")
+    w = NumpyIVF()
+    w.build(x, nc=8, metric="ip")
+    res = w.search(q, k=10, nprobe=8)
+    assert compute_recall(res.ids, gt_ids, 10) >= 0.999
