@@ -43,59 +43,82 @@ def main():
     from quake_tpu.parallel.sharded import sharded_fused_search
 
     rng = np.random.default_rng(0)
-    N, D, NLIST, B, NPROBE, K = 100_000, 64, 128, 512, 16, 10
-    x = rng.standard_normal((N, D)).astype(np.float32)
-    q = jnp.asarray(rng.standard_normal((B, D)).astype(np.float32))
-    idx = QuakeIndex()
-    idx.build(x, np.arange(N, dtype=np.int64),
-              IndexBuildParams(nlist=NLIST, calibrate_aps=False))
-    base_state = idx.store.state
-    pstate = idx.parent.store.state
-
     n_dev = len(jax.devices())
-    results = {}
-    for s in [d for d in (1, 2, 4, 8) if d <= n_dev]:
-        mesh = make_mesh(s)
-        st = shard_store_state(base_state, mesh)
 
-        def fn(codes, ids, norms, pc, pi, qq):
-            return sharded_fused_search(
-                mesh, codes, ids, norms, pc, pi, qq,
-                k=K, nprobe=NPROBE, metric="l2", qt=16, group_chunk=32,
+    def measure(N, D, NLIST, B, NPROBE, K, qt, gc):
+        x = rng.standard_normal((N, D)).astype(np.float32)
+        q = jnp.asarray(rng.standard_normal((B, D)).astype(np.float32))
+        idx = QuakeIndex()
+        idx.build(x, np.arange(N, dtype=np.int64),
+                  IndexBuildParams(nlist=NLIST, calibrate_aps=False))
+        base_state = idx.store.state
+        pstate = idx.parent.store.state
+        out = {}
+        for s in [d for d in (1, 2, 4, 8) if d <= n_dev]:
+            mesh = make_mesh(s)
+            st = shard_store_state(base_state, mesh)
+
+            def fn(codes, ids, norms, pc, pi, qq):
+                return sharded_fused_search(
+                    mesh, codes, ids, norms, pc, pi, qq,
+                    k=K, nprobe=NPROBE, metric="l2", qt=qt, group_chunk=gc,
+                )
+
+            lowered = jax.jit(fn).lower(
+                st.codes, st.ids, st.norms, pstate.codes, pstate.ids, q
             )
+            cost = lowered.compile().cost_analysis()
+            if isinstance(cost, list):
+                cost = cost[0]
+            ba = float(cost.get("bytes accessed", 0.0))
+            out[s] = {"bytes_accessed_per_device": ba}
+            print(f"ndev={s}: bytes accessed/device = {ba/1e6:.1f} MB")
+        return out
 
-        lowered = jax.jit(fn).lower(
-            st.codes, st.ids, st.norms, pstate.codes, pstate.ids, q
-        )
-        cost = lowered.compile().cost_analysis()
-        if isinstance(cost, list):
-            cost = cost[0]
-        ba = float(cost.get("bytes accessed", 0.0))
-        results[s] = {"bytes_accessed_per_device": ba}
-        print(f"ndev={s}: bytes accessed/device = {ba/1e6:.1f} MB")
+    # Small shape (round-1/2 harness shape, B-bound: the replicated share is
+    # dominated by B-proportional prologue/epilogue tensors).
+    print("--- shape A: 100k x 64, B=512 (B-bound) ---")
+    results = measure(100_000, 64, 128, 512, 16, 10, qt=16, gc=32)
+    # Store-dominated shape (serving regime: slab bytes >> B-work; this is
+    # what the v5e-8 projection actually scales).
+    print("--- shape B: 400k x 64, B=1024 (store-dominated) ---")
+    results_b = measure(400_000, 64, 512, 1024, 16, 10, qt=32, gc=32)
 
-    b1 = results.get(1, {}).get("bytes_accessed_per_device")
-    if b1:
-        for s, r in results.items():
-            r["fraction_of_single_device"] = r["bytes_accessed_per_device"] / b1
-            print(f"ndev={s}: fraction of 1-device bytes = "
-                  f"{r['fraction_of_single_device']:.3f} (ideal ~{1/s:.3f} + merge)")
+    for name, res in (("A", results), ("B", results_b)):
+        b1 = res.get(1, {}).get("bytes_accessed_per_device")
+        if b1:
+            for s, r in res.items():
+                r["fraction_of_single_device"] = r["bytes_accessed_per_device"] / b1
+                print(f"shape {name} ndev={s}: fraction of 1-device bytes = "
+                      f"{r['fraction_of_single_device']:.3f} (ideal ~{1/s:.3f} + merge)")
 
-    merge_bytes = {s: s * B * K * 8 for s in results}
+    merge_bytes = {s: s * 1024 * 10 * 8 for s in results}
     print(f"merge all_gather payload (O(k*N*B)): "
           f"{ {s: f'{v/1e3:.0f} KB' for s, v in merge_bytes.items()} }")
 
-    # Projection: measured single-chip fused batch time (BENCH_NOTES r2) with
-    # slot sharding: scan work 1/8, parent+prologue+epilogue replicated,
-    # merge payload ~0.3 MB over ICI (~50 GB/s/link => ~10 us, negligible).
-    t_fused_ms, t_overhead_ms = 14.4, 1.3  # kernel 13.1 + fused overhead 1.3
-    t8 = (t_fused_ms - t_overhead_ms) / 8 + t_overhead_ms
+    # Projection with an explicit replicated-share + ICI budget (VERDICT r2
+    # #4): per-chip time = replicated_share + scan_share/8 + ICI. The
+    # replicated share is taken from the measured store-dominated fraction
+    # f8 (shape B): replicated = (f8 - 1/8) * t_fused. ICI budget: the
+    # parent merge ( [8, B, nprobe] x2 ) + result merge ( [8, B, k] x2 )
+    # all_gathers ~ 5 MB at B=4096 over ~100 GB/s aggregate ICI => ~0.05 ms,
+    # budgeted at 0.2 ms to cover latency + launch overheads.
+    t_fused_ms = 12.4  # round-3 measured fused batch time (B=4096, v7)
+    f8 = results_b.get(8, {}).get("fraction_of_single_device", 0.24)
+    replicated = max(f8 - 1.0 / 8, 0.0) * t_fused_ms
+    ici_ms = 0.2
+    t8 = replicated + (t_fused_ms - replicated) / 8 + ici_ms
     print(f"projected v5e-8 fused batch time: {t8:.2f} ms -> "
-          f"{4096 / t8 * 1e3 / 1e6:.2f}M qps (if slot sharding scales; "
-          f"parent/prologue replicated)")
+          f"{4096 / t8 * 1e3 / 1e6:.2f}M qps "
+          f"(replicated share {replicated:.2f} ms from measured f8={f8:.3f}; "
+          f"ICI budget {ici_ms} ms)")
 
     with open("experiments/shard_work_division.json", "w") as f:
-        json.dump({"per_device": results, "merge_bytes": merge_bytes}, f, indent=2)
+        json.dump({"per_device": results, "per_device_store_dominated": results_b,
+                   "merge_bytes": merge_bytes,
+                   "projection_v5e8": {"t_ms": t8, "qps": 4096 / t8 * 1e3,
+                                       "replicated_ms": replicated,
+                                       "ici_budget_ms": ici_ms}}, f, indent=2)
     print("wrote shard_work_division.json")
 
 

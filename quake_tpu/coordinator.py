@@ -281,14 +281,16 @@ def grouped_scan(codes, ids, sizes, norms, q, pids, k: int, metric: str,
             f"kernel {kernel!r} does not support dedup (spilled stores); "
             "use the default v3pN, v4, v5/v6, v7, or xla backends"
         )
-    if kernel.startswith("v7") or kernel.startswith("v8"):
+    if kernel.startswith("v7") or kernel.startswith("v8") or kernel.startswith("v9"):
         from quake_tpu.ops.pallas_grouped import (
             grouped_scan_pallas_v7,
             grouped_scan_pallas_v8,
+            grouped_scan_pallas_v9,
         )
 
-        fn = (grouped_scan_pallas_v8 if kernel.startswith("v8")
-              else grouped_scan_pallas_v7)
+        fn = {"v7": grouped_scan_pallas_v7,
+              "v8": grouped_scan_pallas_v8,
+              "v9": grouped_scan_pallas_v9}[kernel[:2]]
         gpb, fold = 4, 128
         spec = kernel[2:]  # "", "g8", "g4f256", "f256"
         if "f" in spec:

@@ -949,6 +949,181 @@ def grouped_scan_pallas_v8(codes, ids, sizes, norms, q, pids, k: int,
                          metric, pids, dedup=dedup)
 
 
+def _v9_kernel(k: int, slot_mult: int, levels: int, gpb: int, fold: int):
+    """v9: v8's global-scale quantize + JOINT top-k rounds.
+
+    ab14/ab15 decomposition: the fold/round ops run on [qt, fold] = [32, 128]
+    tiles — small enough that per-op overhead, not VPU bytes, dominates the
+    selection stage. v9 writes each group's folded (m1, m2) pair into a
+    [gpb*qt, fold] VMEM scratch and runs ONE k-round loop over all gpb
+    groups per grid step: 4x fewer round ops at 4x the tile height (same
+    bytes). Rounds are per-ROW selections, so joint processing changes
+    nothing semantically — each row still emits its own top-k."""
+
+    def kernel(group_pid_ref, group_size_ref, qg_ref, *refs):
+        slab_refs = refs[:gpb]
+        norms_refs = refs[gpb:2 * gpb]
+        out_ref = refs[2 * gpb]
+        m1_ref = refs[2 * gpb + 1]  # scratch [gpb*qt, fold]
+        m2_ref = refs[2 * gpb + 2]
+        g = pl.program_id(0)
+        qt = qg_ref.shape[1]
+        for j in range(gpb):
+            size = group_size_ref[gpb * g + j]
+
+            def body(j=j, size=size):
+                qg = qg_ref[j]
+                slab = slab_refs[j][0]
+                prod = jax.lax.dot_general(
+                    qg, slab,
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                qk = jnp.clip(
+                    jnp.floor(2.0 * prod - norms_refs[j][0, 0][None, :]),
+                    0.0, float(levels))
+                QT, C = qk.shape
+                lane = jax.lax.broadcasted_iota(jnp.int32, (QT, C), 1)
+                packed = qk * float(slot_mult) + lane.astype(jnp.float32)
+                packed = jnp.where(lane < size, packed, -1.0)
+                S = C // fold
+                m1 = packed[:, 0:fold]
+                m2 = jnp.full((QT, fold), -1.0, jnp.float32)
+                for s in range(1, S):
+                    seg = packed[:, s * fold:(s + 1) * fold]
+                    m2 = jnp.maximum(m2, jnp.minimum(m1, seg))
+                    m1 = jnp.maximum(m1, seg)
+                m1_ref[j * qt:(j + 1) * qt] = m1
+                m2_ref[j * qt:(j + 1) * qt] = m2
+
+            def ghost(j=j):
+                m1_ref[j * qt:(j + 1) * qt] = jnp.full(
+                    (qt, fold), -1.0, jnp.float32)
+
+            pl.when(size > 0)(body)
+            pl.when(size <= 0)(ghost)
+
+        rows = gpb * qt
+        out_lane = jax.lax.broadcasted_iota(jnp.int32, (rows, k), 1)
+        m1 = m1_ref[...]
+        m2 = m2_ref[...]
+
+        def select_round(i, carry):
+            m1c, m2c, out = carry
+            best = jnp.max(m1c, axis=1, keepdims=True)
+            out = jnp.where(out_lane == i, best, out)
+            hit = m1c == best
+            m1c = jnp.where(hit, m2c, m1c)
+            m2c = jnp.where(hit, -1.0, m2c)
+            return m1c, m2c, out
+
+        init = (m1, m2, jnp.full((rows, k), -1.0, jnp.float32))
+        _, _, out = lax.fori_loop(0, k, select_round, init)
+        for j in range(gpb):
+            out_ref[j] = out[j * qt:(j + 1) * qt]
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "metric", "qt", "gpb", "fold", "dedup", "interpret"),
+)
+def grouped_scan_pallas_v9(codes, ids, sizes, norms, q, pids, k: int,
+                           metric: str, qt: int = 32, gpb: int = 4,
+                           fold: int = 128, dedup: bool = False,
+                           interpret: bool = False):
+    """v9: global-scale quantize + joint rounds (see _v9_kernel). Same
+    inputs/returns/semantics as grouped_scan_pallas_v8."""
+    B, D = q.shape
+    P, C, _ = codes.shape
+    if P >= 32768 or C > 65536:
+        raise ValueError("v9 packs (pid, slot) into int32: needs P < 32768, C <= 65536")
+    if C % fold:
+        raise ValueError(f"v9 needs C % fold == 0 (C={C}, fold={fold})")
+    kk = min(k, C)
+    slot_mult = max(1 << (int(C - 1).bit_length()), 2)
+    levels = (1 << 24) // slot_mult - 2
+
+    qf = q.astype(jnp.float32)
+    q_sq = jnp.sum(qf * qf, axis=1)
+    maxq2 = jnp.max(q_sq)
+    maxx2 = jnp.maximum(jnp.max(norms), 1e-12)
+    maxqx = jnp.sqrt(maxq2) * jnp.sqrt(maxx2)
+    if metric == "l2":
+        gmin = -(maxx2 + 2.0 * maxqx)
+        gmax = maxq2
+    else:
+        gmin = -maxqx
+        gmax = maxqx
+    grange = jnp.maximum(gmax - gmin, 1e-20)
+    ginv = float(levels) / grange
+    normsT = ((norms if metric == "l2" else jnp.zeros_like(norms)) + gmin) * ginv
+
+    group_pid, qlist, pair_group, pair_slot = build_groups(pids, P, qt)
+    G = group_pid.shape[0]
+    Gn = -(-G // gpb) * gpb
+    gp = jnp.pad(group_pid, (0, Gn - G), constant_values=-1)
+    ql = jnp.pad(qlist, ((0, Gn - G), (0, 0)), constant_values=-1)
+    group_size = jnp.where(gp >= 0, sizes[jnp.maximum(gp, 0)], 0).astype(jnp.int32)
+    safe_q = jnp.where(ql >= 0, ql, 0)
+    qg = (qf * ginv).astype(codes.dtype)[safe_q]
+
+    def slab_spec(j):
+        return pl.BlockSpec(
+            (1, C, D), lambda g, gp_, gs: (jnp.maximum(gp_[gpb * g + j], 0), 0, 0)
+        )
+
+    def norms_spec(j):
+        return pl.BlockSpec(
+            (1, 1, C), lambda g, gp_, gs: (jnp.maximum(gp_[gpb * g + j], 0), 0, 0)
+        )
+
+    kernel = _v9_kernel(kk, slot_mult, levels, gpb, fold)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(Gn // gpb,),
+        in_specs=(
+            [pl.BlockSpec((gpb, qt, D), lambda g, gp_, gs: (g, 0, 0))]
+            + [slab_spec(j) for j in range(gpb)]
+            + [norms_spec(j) for j in range(gpb)]
+        ),
+        out_specs=[
+            pl.BlockSpec((gpb, qt, kk), lambda g, gp_, gs: (g, 0, 0)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((gpb * qt, fold), jnp.float32),
+            pltpu.VMEM((gpb * qt, fold), jnp.float32),
+        ],
+    )
+    out_shape = [jax.ShapeDtypeStruct((Gn, qt, kk), jnp.float32)]
+    (g_packed,) = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(gp, group_size, qg, *([codes] * gpb), *([normsT.reshape(P, 1, C)] * gpb))
+
+    alive = group_size > 0
+    valid = (g_packed >= 0.0) & alive[:, None, None]
+    slots = jnp.mod(g_packed, float(slot_mult)).astype(jnp.int32)
+    keys = jnp.floor(g_packed / float(slot_mult))
+    approx = gmin + keys * (grange / float(levels))
+    if metric == "l2":
+        approx = approx - q_sq[safe_q][:, :, None]
+    approx = jnp.where(valid, approx, NEG_INF)
+    gpid_b = jnp.broadcast_to(jnp.maximum(gp, 0)[:, None, None], slots.shape)
+    refs = jnp.where(valid, (gpid_b << 16) | slots, -1)
+    ok = pair_group >= 0
+    pg = jnp.where(ok, pair_group, 0)
+    m_scores = jnp.where(
+        ok[:, :, None], approx[pg, pair_slot], NEG_INF
+    ).reshape(B, -1)
+    m_refs = jnp.where(ok[:, :, None], refs[pg, pair_slot], -1).reshape(B, -1)
+    return _rescore_topk(m_scores, m_refs, codes, ids, norms, q, k, kk,
+                         metric, pids, dedup=dedup)
+
+
 def _v4_kernel(metric: str, k: int, slot_mult: int, levels: int, gpb: int,
                mat_qg: bool = False):
     """v4 chunked kernel body: one v3p selection per (partition, query-tile,

@@ -476,15 +476,23 @@ def test_parent_rank_pallas_matches_exact(metric):
     assert total >= B * nprobe * 0.99
 
 
+@pytest.mark.parametrize("variant_name", ["v8", "v9"])
 @pytest.mark.parametrize("C", [128, 256])
 @pytest.mark.parametrize("metric", ["l2", "ip"])
-def test_v8_kernel_interpret_matches_xla(metric, C):
-    """v8 global-scale quantization: selection order uses a batch-global
-    13-bit key, so membership can differ only at global-quantization ties
-    (rare on continuous data); returned candidates carry EXACT scores.
-    Requires >= k-1 per-row overlap with the oracle and exact scores for
-    overlapping ids; empty partitions + poisoned pads must never surface."""
-    from quake_tpu.ops.pallas_grouped import grouped_scan_pallas_v8
+def test_v8_kernel_interpret_matches_xla(metric, C, variant_name):
+    """v8 (global-scale quantization) and v9 (v8 + joint rounds over a
+    [gpb*qt, fold] scratch): selection order uses a batch-global 13-bit
+    key, so membership can differ only at global-quantization ties (rare on
+    continuous data); returned candidates carry EXACT scores. Requires
+    >= k-1 per-row overlap with the oracle and exact scores for overlapping
+    ids; empty partitions + poisoned pads must never surface."""
+    from quake_tpu.ops.pallas_grouped import (
+        grouped_scan_pallas_v8,
+        grouped_scan_pallas_v9,
+    )
+
+    variant = {"v8": grouped_scan_pallas_v8,
+               "v9": grouped_scan_pallas_v9}[variant_name]
 
     rng = np.random.default_rng(11)
     P, D, B, nprobe, k, qt = 8, 16, 12, 3, 5, 8
@@ -507,7 +515,7 @@ def test_v8_kernel_interpret_matches_xla(metric, C):
         jnp.asarray(clean), jnp.asarray(ids), jnp.asarray(q), jnp.asarray(pids),
         k, metric, qt=qt, group_chunk=4,
     )
-    s2, i2, n2 = grouped_scan_pallas_v8(
+    s2, i2, n2 = variant(
         jnp.asarray(codes), jnp.asarray(ids), jnp.asarray(sizes),
         jnp.asarray(norms), jnp.asarray(q), jnp.asarray(pids), k, metric,
         qt=qt, gpb=3, fold=128, interpret=True)
