@@ -399,6 +399,7 @@ class QuakeIndex:
             and not use_aps
             and self.parent.parent is None
             and int(q.shape[0]) >= 16
+            and (sp.batched_scan is not False or self.spill)
         ):
             timing = SearchTimingInfo(
                 n_queries=int(q.shape[0]), n_clusters=self.nlist(), search_params=sp
@@ -652,7 +653,11 @@ class QuakeIndex:
             )
             timing.partitions_scanned = parent_k
             self._record_hits(pids, scanned)
-        elif int(q.shape[0]) >= 16 or sp.batched_scan or self.spill:
+        elif (
+            sp.batched_scan
+            or self.spill
+            or (sp.batched_scan is None and int(q.shape[0]) >= 16)
+        ):
             # Partition-major grouped scan: each probed partition streams
             # once per batch (the batched_serial_scan analog,
             # query_coordinator.cpp:675-799) — the high-throughput path.

@@ -9,6 +9,7 @@ class and default to values that preserve reference semantics.
 from __future__ import annotations
 
 import dataclasses
+from typing import Optional
 from dataclasses import dataclass, field
 
 
@@ -21,7 +22,12 @@ DEFAULT_NUM_WORKERS = 0
 DEFAULT_K = 1
 DEFAULT_NPROBE = 1
 DEFAULT_RECALL_TARGET = -1.0
-DEFAULT_BATCHED_SCAN = False
+# Reference default is False (its serial scan is its general-purpose mode,
+# common.h:178); here None = auto — batch >= 16 takes the partition-major
+# grouped path (the TPU-native batched mode), smaller batches the per-rank
+# serial analog. An EXPLICIT False is honored: it pins the serial path
+# (query_coordinator.cpp:659-673 semantics) even at large batch.
+DEFAULT_BATCHED_SCAN = None
 DEFAULT_PRECOMPUTED = True
 DEFAULT_INITIAL_SEARCH_FRACTION = 0.02
 DEFAULT_RECOMPUTE_THRESHOLD = 0.001
@@ -156,7 +162,7 @@ class SearchParams:
     num_threads: int = 1
     k_factor: float = 1.0
     use_precomputed: bool = DEFAULT_PRECOMPUTED
-    batched_scan: bool = DEFAULT_BATCHED_SCAN
+    batched_scan: Optional[bool] = DEFAULT_BATCHED_SCAN
     recompute_threshold: float = DEFAULT_RECOMPUTE_THRESHOLD
     initial_search_fraction: float = DEFAULT_INITIAL_SEARCH_FRACTION
     aps_flush_period_us: int = DEFAULT_APS_FLUSH_PERIOD_US

