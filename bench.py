@@ -60,7 +60,7 @@ def main():
     # Find the smallest nprobe achieving >= 0.9 recall@10.
     chosen = None
     r = 0.0
-    for nprobe in (16, 32, 64, 96, 128):
+    for nprobe in (16, 18, 20, 24, 32, 64, 128):
         res = idx.search(q_gt, SearchParams(k=K, nprobe=nprobe))
         r = compute_recall(res.ids, gt_ids, K)
         if r >= 0.90:

@@ -458,7 +458,13 @@ class QuakeIndex:
         """Grouped-scan backend choice. Mosaic kernels only lower on real TPU
         backends (measured ~5x over the chunked-XLA grouped scan); the
         QUAKE_TPU_KERNEL env var overrides for A/B runs ("xla"/"v2"/"v3"/
-        "v3p").
+        "v3p"/"v7"/"v8"/"v9").
+
+        Production default (round 3): v9 — global-scale quantize (one fused
+        elementwise chain, no per-row reduces, no stats output) + column-
+        folded max2 selection with joint rounds over a [gpb*qt, fold]
+        scratch. Same-run A/B vs v3p4: 9.45 vs 11.48 ms at B=4096/nprobe=16
+        (kernel_ab15/16). The dispatch falls back to v3pn when C % 128 != 0.
 
         Groups-per-step is budgeted against VMEM: the pipeline double-buffers
         gpb slabs of C*D elements (a 960-d store with C=640 OOMs scoped vmem
@@ -471,16 +477,17 @@ class QuakeIndex:
                 elt = 2 if self.store.state.codes.dtype == jnp.bfloat16 else 4
                 slab = self.store.C * self.d() * elt
                 gpb = max(1, min(4, (12 << 20) // max(2 * slab, 1)))
-                return f"v3p{gpb}" if slab * 2 <= (12 << 20) else "xla"
+                return f"v9g{gpb}" if slab * 2 <= (12 << 20) else "xla"
         except Exception:
             pass
         return "xla"
 
     def _grouped_params(self, B: int, parent_k: int):
-        # qt tracks expected queries-per-partition, capped at 32: the
-        # selection cost's U*QT term grows with qt while DMA re-reads shrink;
-        # measured optimum on v5e sits at 32 across nprobe 16-48.
-        qt = min(32, max(8, next_pow2(B * parent_k // max(self.nlist(), 1) or 1)))
+        # qt tracks expected queries-per-partition. Cap 64 since v9: with
+        # selection rounds on the folded row, larger query tiles halve slab
+        # re-reads AND per-op overhead (qt64 9.45 vs qt32 9.93 ms, ab16);
+        # the v3p-era cap was 32 (selection cost grew with qt).
+        qt = min(64, max(8, next_pow2(B * parent_k // max(self.nlist(), 1) or 1)))
         slab_bytes = self.store.C * self.d() * 4
         group_chunk = max(8, min(128, (1 << 27) // max(slab_bytes, 1)))
         return qt, group_chunk

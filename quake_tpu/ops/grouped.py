@@ -331,8 +331,12 @@ def _merge_groups(g_scores, g_ids, pair_group, pair_slot, pids, k: int,
     B, nprobe = pair_group.shape
     ok = pair_group >= 0
     pg = jnp.where(ok, pair_group, 0)
-    s = g_scores[pg, pair_slot]  # [B, nprobe, kk]
-    i = g_ids[pg, pair_slot]
+    # Flattened single-axis row gather: the 2-index advanced-indexing
+    # spelling lowers to a slow XLA gather path on TPU (kernel_ab18).
+    G, qt, kk_ = g_scores.shape
+    flat_idx = pg * qt + pair_slot
+    s = jnp.take(g_scores.reshape(G * qt, kk_), flat_idx, axis=0)
+    i = jnp.take(g_ids.reshape(G * qt, kk_), flat_idx, axis=0)
     s = jnp.where(ok[:, :, None], s, NEG_INF)
     i = jnp.where(ok[:, :, None], i, -1)
     pool = min(2 * k if dedup else k, nprobe * kk)

@@ -30,6 +30,24 @@ from quake_tpu.ops.grouped import _merge_groups, build_groups
 NEG_INF = float("-inf")
 
 
+def _pair_take(arr3, pg, pair_slot):
+    """Row-gather arr3[pg, pair_slot] -> [B, nprobe, k] via a FLATTENED
+    single-axis take. The natural advanced-indexing spelling (two index
+    dims) lowers to a slow XLA gather path on TPU — the flattened row
+    gather is the fast one (kernel_ab18: the epilogue's pair gathers were
+    the dominant share of a 5.7 ms epilogue at bench shape)."""
+    G, qt, kk = arr3.shape
+    return jnp.take(arr3.reshape(G * qt, kk), pg * qt + pair_slot, axis=0)
+
+
+def _flat_row_take(arr2d_as_PC, idx_pid, idx_slot):
+    """codes/ids/norms[pid, slot] via flattened single-axis take (see
+    _pair_take)."""
+    C = arr2d_as_PC.shape[1]
+    flat = arr2d_as_PC.reshape((-1,) + arr2d_as_PC.shape[2:])
+    return jnp.take(flat, idx_pid * C + idx_slot, axis=0)
+
+
 def _grouped_kernel(metric: str, k: int):
     def kernel(group_pid_ref, qg_ref, slab_ref, sids_ref, out_s_ref, out_i_ref):
         g = pl.program_id(0)
@@ -415,7 +433,7 @@ def _rescore_topk(m_scores, m_refs, codes, ids, norms, q, k: int, kk: int,
 
     if dedup:
         c_pid = jnp.maximum(top_refs >> 16, 0)
-        c_ids = ids[c_pid, top_refs & 0xFFFF]
+        c_ids = _flat_row_take(ids, c_pid, top_refs & 0xFFFF)
         c_ids = jnp.where(top_refs >= 0, c_ids, -1)
         earlier = (
             jax.lax.broadcasted_iota(jnp.int32, (pool, pool), 1)
@@ -441,18 +459,18 @@ def _rescore_topk(m_scores, m_refs, codes, ids, norms, q, k: int, kk: int,
 
     w_pid = jnp.maximum(top_refs >> 16, 0)
     w_slot = top_refs & 0xFFFF
-    vecs = codes[w_pid, w_slot].astype(jnp.float32)  # [B, kfin, D]
+    vecs = _flat_row_take(codes, w_pid, w_slot).astype(jnp.float32)  # [B, kfin, D]
     qf = q.astype(jnp.float32)
     prod = jnp.einsum("bkd,bd->bk", vecs, qf)
     if metric == "l2":
         exact = (
             2.0 * prod
             - jnp.sum(qf * qf, axis=1, keepdims=True)
-            - norms[w_pid, w_slot]
+            - _flat_row_take(norms, w_pid, w_slot)
         )
     else:
         exact = prod
-    top_ids = ids[w_pid, w_slot]
+    top_ids = _flat_row_take(ids, w_pid, w_slot)
     top_ids = jnp.where(top_refs >= 0, top_ids, -1)
     exact = jnp.where(top_ids >= 0, exact, -jnp.inf)
     scores, order = lax.top_k(exact, kfin)
@@ -499,9 +517,11 @@ def _v3p_epilogue(g_packed, g_stats, group_pid, pair_group, pair_slot, pids,
     ok = pair_group >= 0
     pg = jnp.where(ok, pair_group, 0)
     m_scores = jnp.where(
-        ok[:, :, None], approx[pg, pair_slot], NEG_INF
+        ok[:, :, None], _pair_take(approx, pg, pair_slot), NEG_INF
     ).reshape(B, -1)
-    m_refs = jnp.where(ok[:, :, None], refs[pg, pair_slot], -1).reshape(B, -1)
+    m_refs = jnp.where(
+        ok[:, :, None], _pair_take(refs, pg, pair_slot), -1
+    ).reshape(B, -1)
     return _rescore_topk(m_scores, m_refs, codes, ids, norms, q, k, kk,
                          metric, pids, dedup=dedup)
 
@@ -942,9 +962,11 @@ def grouped_scan_pallas_v8(codes, ids, sizes, norms, q, pids, k: int,
     ok = pair_group >= 0
     pg = jnp.where(ok, pair_group, 0)
     m_scores = jnp.where(
-        ok[:, :, None], approx[pg, pair_slot], NEG_INF
+        ok[:, :, None], _pair_take(approx, pg, pair_slot), NEG_INF
     ).reshape(B, -1)
-    m_refs = jnp.where(ok[:, :, None], refs[pg, pair_slot], -1).reshape(B, -1)
+    m_refs = jnp.where(
+        ok[:, :, None], _pair_take(refs, pg, pair_slot), -1
+    ).reshape(B, -1)
     return _rescore_topk(m_scores, m_refs, codes, ids, norms, q, k, kk,
                          metric, pids, dedup=dedup)
 
@@ -1117,9 +1139,11 @@ def grouped_scan_pallas_v9(codes, ids, sizes, norms, q, pids, k: int,
     ok = pair_group >= 0
     pg = jnp.where(ok, pair_group, 0)
     m_scores = jnp.where(
-        ok[:, :, None], approx[pg, pair_slot], NEG_INF
+        ok[:, :, None], _pair_take(approx, pg, pair_slot), NEG_INF
     ).reshape(B, -1)
-    m_refs = jnp.where(ok[:, :, None], refs[pg, pair_slot], -1).reshape(B, -1)
+    m_refs = jnp.where(
+        ok[:, :, None], _pair_take(refs, pg, pair_slot), -1
+    ).reshape(B, -1)
     return _rescore_topk(m_scores, m_refs, codes, ids, norms, q, k, kk,
                          metric, pids, dedup=dedup)
 
@@ -1284,9 +1308,15 @@ def grouped_scan_pallas_v4(codes, ids, sizes, norms, q, pids, k: int,
     # Stage 1: per-(query, probe) reduce the chunks' kk candidates to kk.
     okc = pair_cg >= 0  # [B, nprobe, MAXCH]
     pcg = jnp.where(okc, pair_cg, 0)
-    ps = pair_slot[:, :, None]
-    s = jnp.where(okc[..., None], approx[pcg, ps], NEG_INF)  # [B,np,MC,kk]
-    rf = jnp.where(okc[..., None], refs[pcg, ps], -1)
+    ps = jnp.broadcast_to(pair_slot[:, :, None], pcg.shape)
+    s = jnp.where(okc[..., None],
+                  _pair_take(approx, pcg.reshape(pcg.shape[0], -1),
+                             ps.reshape(ps.shape[0], -1)).reshape(
+                      pcg.shape + (approx.shape[-1],)), NEG_INF)
+    rf = jnp.where(okc[..., None],
+                   _pair_take(refs, pcg.reshape(pcg.shape[0], -1),
+                              ps.reshape(ps.shape[0], -1)).reshape(
+                       pcg.shape + (refs.shape[-1],)), -1)
     Bq, npb, maxch, _ = s.shape
     s = s.reshape(Bq, npb, maxch * kk)
     rf = rf.reshape(Bq, npb, maxch * kk)
