@@ -47,14 +47,24 @@ def main():
     queries = make_manifold(BATCH * N_BATCHES, D, 4096, seed=7)
     q_gt = queries[:NQ_GT]
 
+    # bf16 slab storage is the serving default since round 3: the v9 kernel
+    # is no longer VPU-bound, so halved DMA wins outright (7.73 vs 8.19 ms
+    # kernel path, kernel_ab19) and recall parity holds (bf16 parity tests +
+    # the recall gate below). QUAKE_BENCH_PRECISION=f32 reverts.
+    precision = os.environ.get("QUAKE_BENCH_PRECISION", "bf16")
     t0 = time.perf_counter()
     idx = QuakeIndex()
-    idx.build(x, ids, IndexBuildParams(nlist=NLIST, metric="l2"))
+    idx.build(x, ids, IndexBuildParams(nlist=NLIST, metric="l2",
+                                       precision=precision))
     build_s = time.perf_counter() - t0
 
-    # Exact ground truth on-device via the flat scan over the whole store.
-    state = idx.store.state
-    _, gt_ids = flat_search(state.codes, state.ids, jnp.asarray(q_gt), K, "l2")
+    # Exact ground truth on-device over the ORIGINAL f32 vectors (not the
+    # store's possibly-bf16 slabs — recall must be judged against true f32
+    # neighbors).
+    from quake_tpu.ops.scan import flat_scan as _flat2d
+
+    _, gt_ids = _flat2d(jnp.asarray(q_gt), jnp.asarray(x),
+                        jnp.arange(N, dtype=jnp.int32), K, "l2")
     gt_ids = np.asarray(gt_ids).astype(np.int64)
 
     # Find the smallest nprobe achieving >= 0.9 recall@10.

@@ -1,13 +1,11 @@
-"""A/B round 18 (round 3): epilogue gather rewrite (flattened single-axis
-takes) — re-measure v9 full/raw/fused after replacing every 2-index
-advanced-indexing gather in the merge/rescore epilogue.
+"""A/B round 19 (round 3): packed key-domain merge epilogue for v8/v9.
 
-ab17 isolated the epilogue at ~5.7 ms of the 9.7 ms grouped scan (kernel +
-grouping raw = 3.9); hypothesis: the multi-dim-index XLA gathers
-(approx[pg, pair_slot], codes[w_pid, w_slot]) lower to the slow gather
-path on TPU.
+Replaces the [B, pool] lax.top_k merge (1.5 ms alone at [4096, 160]) with a
+fold + k packed rounds in key domain (global quantization scale makes keys
+comparable across groups), and drops the dequantize entirely from the
+non-dedup path.
 
-Run: PYTHONPATH=/root/repo:/root/.axon_site python experiments/kernel_ab18.py
+Run: PYTHONPATH=/root/repo:/root/.axon_site python experiments/kernel_ab19.py
 """
 
 import json
@@ -21,7 +19,6 @@ from experiments.kernel_ab2 import make_setup
 def main():
     import jax
     import jax.numpy as jnp
-    from jax import lax
 
     from quake_tpu.coordinator import fused_ivf_search
     from quake_tpu.ops.pallas_grouped import grouped_scan_pallas_v9
@@ -55,60 +52,45 @@ def main():
                           "qps": round(B / ms * 1e3)}), flush=True)
         return out, ms
 
-    # micro-probes: the two gather spellings on the rescore-sized problem
-    refs = jnp.asarray(
-        (rng.integers(0, P, (B, k)) << 16 | rng.integers(0, C, (B, k)))
-        .astype(np.int32))
+    ref = None
 
-    @jax.jit
-    def gather_2index():
-        w_pid = refs >> 16
-        w_slot = refs & 0xFFFF
-        vecs = codes[w_pid, w_slot]
-        return jnp.sum(vecs)
-
-    @jax.jit
-    def gather_flat():
-        w_pid = refs >> 16
-        w_slot = refs & 0xFFFF
-        vecs = jnp.take(codes.reshape(P * C, D), w_pid * C + w_slot, axis=0)
-        return jnp.sum(vecs)
-
-    @jax.jit
-    def topk_160():
-        m = jax.random.uniform(jax.random.PRNGKey(0), (B, 160))
-        s, i = lax.top_k(m, k)
-        return jnp.sum(s) + jnp.sum(i)
+    def check(name, out):
+        same = np.mean([
+            len(set(np.asarray(ref[1])[b]) & set(np.asarray(out[1])[b])) / k
+            for b in range(0, B, 97)
+        ])
+        print(json.dumps({"name": name, "id_overlap": round(same, 4)}),
+              flush=True)
 
     variants = [
         ("v9_full_qt64", lambda: grouped_scan_pallas_v9(
             codes, ids, sizes, norms, q, pids, k, "l2", qt=64, gpb=4)),
         ("v9_full_qt64_bf16", lambda: grouped_scan_pallas_v9(
             codes_bf, ids, sizes, norms_bf, q, pids, k, "l2", qt=64, gpb=4)),
-        ("gather_2index", gather_2index),
-        ("gather_flat", gather_flat),
-        ("topk_160", topk_160),
         ("fused_v9_qt64_f32", lambda: fused_ivf_search(
             codes, ids, sizes, norms, pc, pid_arr, q, k=k, nprobe=16,
             metric="l2", qt=64, group_chunk=64, kernel="v9")),
         ("fused_v9_qt64_bf16", lambda: fused_ivf_search(
             codes_bf, ids, sizes, norms_bf, pc, pid_arr, q, k=k, nprobe=16,
             metric="l2", qt=64, group_chunk=64, kernel="v9")),
-        ("fused_v9_qt32_f32", lambda: fused_ivf_search(
-            codes, ids, sizes, norms, pc, pid_arr, q, k=k, nprobe=16,
-            metric="l2", qt=32, group_chunk=64, kernel="v9")),
     ]
+    from quake_tpu.ops.grouped import grouped_scan_xla
+    oracle = None
     for pass_no in (1, 2):
         for name, fn in variants:
-            try:
-                bench(f"{name}_p{pass_no}", fn)
-            except Exception as e:  # noqa: BLE001 - record and continue
-                # The 2-index gather probe DIES at compile time: the
-                # lowered program exceeds the remote compiler's request
-                # size limit (HTTP 413) — the strongest possible evidence
-                # for the slow-path lowering hypothesis.
-                print(json.dumps({"name": f"{name}_p{pass_no}",
-                                  "error": str(e)[:160]}), flush=True)
+            out, _ = bench(f"{name}_p{pass_no}", fn)
+            if name == "v9_full_qt64":
+                ref = out
+            elif "bf16" not in name and name != "v9_full_qt64":
+                check(name, out)
+    # correctness vs exact XLA backend
+    s1, i1, _ = grouped_scan_xla(codes, ids, q, pids, k, "l2", qt=16,
+                                 group_chunk=32, norms=norms)
+    ov = np.mean([
+        len(set(np.asarray(i1)[b]) & set(np.asarray(ref[1])[b])) / k
+        for b in range(0, B, 53)
+    ])
+    print(json.dumps({"v9_vs_exact_overlap": round(float(ov), 4)}), flush=True)
     print("done", flush=True)
 
 

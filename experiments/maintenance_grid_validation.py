@@ -19,8 +19,12 @@ def main():
     from quake_tpu.maintenance.latency_estimator import ListScanLatencyEstimator
 
     d = 128
-    analytic = ListScanLatencyEstimator(d)
-    profiled = ListScanLatencyEstimator(d)
+    # Subset of the default grid (remote compiles cost ~30-60 s per (n, k)
+    # cell): covers the operating region the split/delete deltas compare.
+    n_vals = [256, 1024, 4096, 16384, 65536]
+    k_vals = [1, 16, 64]
+    analytic = ListScanLatencyEstimator(d, n_values=n_vals, k_values=k_vals)
+    profiled = ListScanLatencyEstimator(d, n_values=n_vals, k_values=k_vals)
     profiled.profile_grouped_latency()  # production kernel on this backend
 
     ratios = profiled.latency_grid / np.maximum(analytic.latency_grid, 1e-9)

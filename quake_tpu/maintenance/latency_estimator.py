@@ -121,7 +121,7 @@ class ListScanLatencyEstimator:
         from quake_tpu.coordinator import grouped_scan
 
         if kernel is None:
-            kernel = "v3p" if jax.default_backend() == "tpu" else "xla"
+            kernel = "v9" if jax.default_backend() == "tpu" else "xla"
         Pp = 32
         rng = np.random.default_rng(0)
         q = jnp.asarray(rng.standard_normal((n_queries, self.d)).astype(np.float32))
