@@ -480,20 +480,24 @@ def _exact_rescore(top_refs, codes, ids, norms, q, k: int, kfin: int,
     top_ids = _flat_row_take(ids, w_pid, w_slot)
     top_ids = jnp.where(top_refs >= 0, top_ids, -1)
     exact = jnp.where(top_ids >= 0, exact, -jnp.inf)
-    scores, order = lax.top_k(exact, kfin)
+    scores, order = lax.top_k(exact, min(kfin, max(k, 1)))
     out_ids = jnp.take_along_axis(top_ids, order, axis=1)
+    scores = scores[:, :k]
+    out_ids = out_ids[:, :k]
     out_ids = jnp.where(jnp.isfinite(scores), out_ids, -1)
     scores = jnp.where(out_ids >= 0, scores, -jnp.inf)
-    if kfin < k:
-        scores = jnp.pad(scores, ((0, 0), (0, k - kfin)), constant_values=NEG_INF)
-        out_ids = jnp.pad(out_ids, ((0, 0), (0, k - kfin)), constant_values=-1)
+    if scores.shape[1] < k:
+        padn = k - scores.shape[1]
+        scores = jnp.pad(scores, ((0, 0), (0, padn)), constant_values=NEG_INF)
+        out_ids = jnp.pad(out_ids, ((0, 0), (0, padn)), constant_values=-1)
     scanned = jnp.sum((pids >= 0).astype(jnp.int32), axis=1)
     return scores, out_ids, scanned
 
 
 def _global_epilogue(g_packed, gp, group_size, pair_group, pair_slot, pids,
                      codes, ids, norms, q, k: int, kk: int, metric: str,
-                     slot_mult: int, levels: int, dedup: bool):
+                     slot_mult: int, levels: int, dedup: bool,
+                     pool_factor: int = 2):
     """Shared v8/v9 epilogue. Because the quantized keys use ONE global
     scale, they are comparable across groups — the per-query merge runs
     directly in key domain (no dequantize, no per-row stats), and the
@@ -528,7 +532,12 @@ def _global_epilogue(g_packed, gp, group_size, pair_group, pair_slot, pids,
         return _rescore_topk(m_keys, m_refs, codes, ids, norms, q, k, kk,
                              metric, pids, dedup=dedup)
 
-    kfin = min(k, pool)
+    # Merge a 2k pool: global quantization is coarse (one 13-bit scale for
+    # the whole batch), so true top-k members can sit at approx ranks
+    # k..2k on ties — exact-rescoring 2k costs k more packed rounds
+    # (~0.3 ms) and buys the recall back (bench r3: nprobe 18 -> 16 at
+    # equal recall).
+    kfin = min(pool_factor * k, pool)
     pad = poolp - pool
     mk = jnp.pad(m_keys, ((0, 0), (0, pad)), constant_values=-1.0)
     lane = jax.lax.broadcasted_iota(jnp.int32, (B, poolp), 1)
@@ -946,12 +955,13 @@ def _v8_kernel(k: int, slot_mult: int, levels: int, gpb: int, fold: int):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("k", "metric", "qt", "gpb", "fold", "dedup", "interpret"),
+    static_argnames=("k", "metric", "qt", "gpb", "fold", "dedup",
+                     "pool_factor", "interpret"),
 )
 def grouped_scan_pallas_v8(codes, ids, sizes, norms, q, pids, k: int,
                             metric: str, qt: int = 32, gpb: int = 4,
                             fold: int = 128, dedup: bool = False,
-                            interpret: bool = False):
+                            pool_factor: int = 2, interpret: bool = False):
     """v8: global-scale column-folded grouped scan (see _v8_kernel).
 
     Same inputs/returns as grouped_scan_pallas_v3pn. Selection order is by a
@@ -1030,7 +1040,8 @@ def grouped_scan_pallas_v8(codes, ids, sizes, norms, q, pids, k: int,
 
     return _global_epilogue(g_packed, gp, group_size, pair_group, pair_slot,
                             pids, codes, ids, norms, q, k, kk, metric,
-                            slot_mult, levels, dedup)
+                            slot_mult, levels, dedup,
+                            pool_factor=pool_factor)
 
 
 def _v9_kernel(k: int, slot_mult: int, levels: int, gpb: int, fold: int):
@@ -1111,12 +1122,13 @@ def _v9_kernel(k: int, slot_mult: int, levels: int, gpb: int, fold: int):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("k", "metric", "qt", "gpb", "fold", "dedup", "interpret"),
+    static_argnames=("k", "metric", "qt", "gpb", "fold", "dedup",
+                     "pool_factor", "interpret"),
 )
 def grouped_scan_pallas_v9(codes, ids, sizes, norms, q, pids, k: int,
                            metric: str, qt: int = 32, gpb: int = 4,
                            fold: int = 128, dedup: bool = False,
-                           interpret: bool = False):
+                           pool_factor: int = 2, interpret: bool = False):
     """v9: global-scale quantize + joint rounds (see _v9_kernel). Same
     inputs/returns/semantics as grouped_scan_pallas_v8."""
     B, D = q.shape
@@ -1190,7 +1202,8 @@ def grouped_scan_pallas_v9(codes, ids, sizes, norms, q, pids, k: int,
 
     return _global_epilogue(g_packed, gp, group_size, pair_group, pair_slot,
                             pids, codes, ids, norms, q, k, kk, metric,
-                            slot_mult, levels, dedup)
+                            slot_mult, levels, dedup,
+                            pool_factor=pool_factor)
 
 
 def _v4_kernel(metric: str, k: int, slot_mult: int, levels: int, gpb: int,
