@@ -71,35 +71,31 @@ def main():
               flush=True)
         return out, ms
 
-    def fused(npb, pf):
-        kern = "v9" if pf == 2 else "v9"
-        # pool factor reaches the kernel through the env-free dispatch only
-        # via direct call; use fused_ivf_search for pf=2 (default) and a
-        # direct call otherwise.
-        if pf == 2:
-            return lambda: fused_ivf_search(
-                st.codes, st.ids, st.sizes, st.norms, pst.codes, pst.ids, q,
-                k=K, nprobe=npb, metric="l2", qt=64, group_chunk=64,
-                kernel="v9")
-        from quake_tpu.coordinator import rank_parents
-        from quake_tpu.ops.pallas_grouped import grouped_scan_pallas_v9
-        from quake_tpu.ops.scan import scores_to_distances
-        import functools
+    from quake_tpu.coordinator import rank_parents
+    from quake_tpu.ops.pallas_grouped import grouped_scan_pallas_v9
+    from quake_tpu.ops.scan import scores_to_distances
+    import functools
 
-        @jax.jit
-        def run():
-            pids = rank_parents(pst.codes, pst.ids, None, q, npb, "l2")
-            s, i, scanned = grouped_scan_pallas_v9(
-                st.codes, st.ids, st.sizes, st.norms, q, pids, K, "l2",
-                qt=64, gpb=4, pool_factor=pf)
-            return s, i, scores_to_distances(s, i, "l2"), scanned, pids
-        return run
+    @functools.partial(jax.jit, static_argnames=("npb", "pf"))
+    def run_fused(codes, ids_a, sizes_a, norms_a, pcodes, pids_a, qq,
+                  npb, pf):
+        pids = rank_parents(pcodes, pids_a, None, qq, npb, "l2")
+        s, i, scanned = grouped_scan_pallas_v9(
+            codes, ids_a, sizes_a, norms_a, qq, pids, K, "l2",
+            qt=64, gpb=4, pool_factor=pf)
+        return s, i, scores_to_distances(s, i, "l2"), scanned, pids
+
+    def fused(npb, pf):
+        return lambda: run_fused(st.codes, st.ids, st.sizes, st.norms,
+                                 pst.codes, pst.ids, q, npb, pf)
 
     variants = [
         ("fused_pool2_np16", fused(16, 2), True),
         ("fused_pool1_np16", fused(16, 1), True),
         ("fused_pool1_np18", fused(18, 1), True),
         ("fused_pool2_np18", fused(18, 2), True),
+        ("fused_pool2_np17", fused(17, 2), True),
+        ("fused_pool3_np16", fused(16, 3), True),
     ]
     for pass_no in (1, 2):
         for name, fn, rc in variants:

@@ -532,11 +532,10 @@ def _global_epilogue(g_packed, gp, group_size, pair_group, pair_slot, pids,
         return _rescore_topk(m_keys, m_refs, codes, ids, norms, q, k, kk,
                              metric, pids, dedup=dedup)
 
-    # Merge a 2k pool: global quantization is coarse (one 13-bit scale for
-    # the whole batch), so true top-k members can sit at approx ranks
-    # k..2k on ties — exact-rescoring 2k costs k more packed rounds
-    # (~0.3 ms) and buys the recall back (bench r3: nprobe 18 -> 16 at
-    # equal recall).
+    # pool_factor > 1 rescores a wider approx pool. Measured NEGATIVE as a
+    # default (ab20: +1.4 ms for +0.0016 recall at bench shape — the
+    # recall loss lives in the per-group selection, not the merge pool);
+    # kept as a knob.
     kfin = min(pool_factor * k, pool)
     pad = poolp - pool
     mk = jnp.pad(m_keys, ((0, 0), (0, pad)), constant_values=-1.0)
@@ -913,6 +912,50 @@ def _v7_fold_rounds(packed, k: int, fold: int):
     return out
 
 
+def _global_bounds(qf, codes, norms, sizes, metric: str, bounds: str):
+    """(gmin, grange) for the global quantization scale.
+
+    "analytic": worst-case bounds from the batch max query norm and store
+    max vector norm — safe but loose (the realized score spread is a
+    fraction of it, costing effective quantization levels).
+    "sampled": gmin from actual scores of a stratified query sample against
+    a few partitions, minus a 25% margin; gmax stays at the analytic upper
+    bound (clamping at the TOP would corrupt winners; clamping at the
+    bottom only flattens hopeless candidates). ~2-4x more effective levels
+    per row on manifold data.
+    """
+    q_sq = jnp.sum(qf * qf, axis=1)
+    maxq2 = jnp.max(q_sq)
+    maxx2 = jnp.maximum(jnp.max(norms), 1e-12)
+    maxqx = jnp.sqrt(maxq2) * jnp.sqrt(maxx2)
+    if metric == "l2":
+        gmax = maxq2
+        gmin = -(maxx2 + 2.0 * maxqx)
+    else:
+        gmax = maxqx
+        gmin = -maxqx
+    if bounds == "sampled":
+        B = qf.shape[0]
+        P, C, D = codes.shape
+        step = max(B // 64, 1)
+        sq = qf[::step][:64]
+        np_s = min(P, 4)
+        slab = codes[:np_s].reshape(np_s * C, D).astype(jnp.float32)
+        prod = jax.lax.dot_general(
+            sq, slab, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        if metric == "l2":
+            scores = 2.0 * prod - norms[:np_s].reshape(1, np_s * C)
+        else:
+            scores = prod
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, np_s * C), 1)
+        valid = (lane % C) < jnp.repeat(sizes[:np_s], C).reshape(1, np_s * C)
+        smin = jnp.min(jnp.where(valid, scores, jnp.inf))
+        smin = jnp.where(jnp.isfinite(smin), smin, gmin)
+        gmin = smin - 0.25 * jnp.maximum(gmax - smin, 1e-20)
+    return gmin, jnp.maximum(gmax - gmin, 1e-20)
+
+
 def _v8_kernel(k: int, slot_mult: int, levels: int, gpb: int, fold: int):
     """v8 (global-scale v7) kernel body: the quantize prologue is ONE fused
     elementwise chain — no per-row reduces, no stats output.
@@ -956,12 +999,13 @@ def _v8_kernel(k: int, slot_mult: int, levels: int, gpb: int, fold: int):
 @functools.partial(
     jax.jit,
     static_argnames=("k", "metric", "qt", "gpb", "fold", "dedup",
-                     "pool_factor", "interpret"),
+                     "pool_factor", "bounds", "interpret"),
 )
 def grouped_scan_pallas_v8(codes, ids, sizes, norms, q, pids, k: int,
                             metric: str, qt: int = 32, gpb: int = 4,
                             fold: int = 128, dedup: bool = False,
-                            pool_factor: int = 2, interpret: bool = False):
+                            pool_factor: int = 1, bounds: str = "analytic",
+                            interpret: bool = False):
     """v8: global-scale column-folded grouped scan (see _v8_kernel).
 
     Same inputs/returns as grouped_scan_pallas_v3pn. Selection order is by a
@@ -983,17 +1027,7 @@ def grouped_scan_pallas_v8(codes, ids, sizes, norms, q, pids, k: int,
     # Global score bounds (l2 internal score s = 2<q,x> - ||x||^2 lies in
     # [-(maxx^2 + 2 maxq maxx), maxq^2]; ip score in +-maxq*maxx).
     qf = q.astype(jnp.float32)
-    q_sq = jnp.sum(qf * qf, axis=1)
-    maxq2 = jnp.max(q_sq)
-    maxx2 = jnp.maximum(jnp.max(norms), 1e-12)
-    maxqx = jnp.sqrt(maxq2) * jnp.sqrt(maxx2)
-    if metric == "l2":
-        gmin = -(maxx2 + 2.0 * maxqx)
-        gmax = maxq2
-    else:
-        gmin = -maxqx
-        gmax = maxqx
-    grange = jnp.maximum(gmax - gmin, 1e-20)
+    gmin, grange = _global_bounds(qf, codes, norms, sizes, metric, bounds)
     ginv = float(levels) / grange
     normsT = ((norms if metric == "l2" else jnp.zeros_like(norms)) + gmin) * ginv
 
@@ -1123,12 +1157,13 @@ def _v9_kernel(k: int, slot_mult: int, levels: int, gpb: int, fold: int):
 @functools.partial(
     jax.jit,
     static_argnames=("k", "metric", "qt", "gpb", "fold", "dedup",
-                     "pool_factor", "interpret"),
+                     "pool_factor", "bounds", "interpret"),
 )
 def grouped_scan_pallas_v9(codes, ids, sizes, norms, q, pids, k: int,
                            metric: str, qt: int = 32, gpb: int = 4,
                            fold: int = 128, dedup: bool = False,
-                           pool_factor: int = 2, interpret: bool = False):
+                           pool_factor: int = 1, bounds: str = "analytic",
+                           interpret: bool = False):
     """v9: global-scale quantize + joint rounds (see _v9_kernel). Same
     inputs/returns/semantics as grouped_scan_pallas_v8."""
     B, D = q.shape
@@ -1142,17 +1177,7 @@ def grouped_scan_pallas_v9(codes, ids, sizes, norms, q, pids, k: int,
     levels = (1 << 24) // slot_mult - 2
 
     qf = q.astype(jnp.float32)
-    q_sq = jnp.sum(qf * qf, axis=1)
-    maxq2 = jnp.max(q_sq)
-    maxx2 = jnp.maximum(jnp.max(norms), 1e-12)
-    maxqx = jnp.sqrt(maxq2) * jnp.sqrt(maxx2)
-    if metric == "l2":
-        gmin = -(maxx2 + 2.0 * maxqx)
-        gmax = maxq2
-    else:
-        gmin = -maxqx
-        gmax = maxqx
-    grange = jnp.maximum(gmax - gmin, 1e-20)
+    gmin, grange = _global_bounds(qf, codes, norms, sizes, metric, bounds)
     ginv = float(levels) / grange
     normsT = ((norms if metric == "l2" else jnp.zeros_like(norms)) + gmin) * ginv
 

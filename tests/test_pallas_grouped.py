@@ -529,3 +529,31 @@ def test_v8_kernel_interpret_matches_xla(metric, C, variant_name):
         for i, s in zip(i2[b], s2[b]):
             if i in exact and i >= 0:
                 np.testing.assert_allclose(s, exact[i], rtol=1e-4, atol=1e-4)
+
+
+def test_v9_sampled_bounds_interpret():
+    """bounds="sampled": tighter global quantization scale (gmin from a
+    stratified score sample). Candidates below the sampled floor flatten to
+    key 0 — they are losers by construction — so per-row overlap with the
+    oracle must still hold."""
+    from quake_tpu.ops.pallas_grouped import grouped_scan_pallas_v9
+
+    rng = np.random.default_rng(13)
+    P, C, D, B, nprobe, k, qt = 8, 256, 16, 16, 4, 5, 8
+    codes = rng.standard_normal((P, C, D)).astype(np.float32)
+    ids = np.arange(P * C, dtype=np.int32).reshape(P, C)
+    sizes = np.full(P, C, np.int32)
+    norms = (codes ** 2).sum(axis=2)
+    q = rng.standard_normal((B, D)).astype(np.float32)
+    pids = np.stack([rng.permutation(P)[:nprobe] for _ in range(B)]).astype(np.int32)
+
+    s1, i1, _ = grouped_scan_xla(
+        jnp.asarray(codes), jnp.asarray(ids), jnp.asarray(q), jnp.asarray(pids),
+        k, "l2", qt=qt, group_chunk=4)
+    s2, i2, _ = grouped_scan_pallas_v9(
+        jnp.asarray(codes), jnp.asarray(ids), jnp.asarray(sizes),
+        jnp.asarray(norms), jnp.asarray(q), jnp.asarray(pids), k, "l2",
+        qt=qt, gpb=2, bounds="sampled", interpret=True)
+    i1, i2 = np.asarray(i1), np.asarray(i2)
+    for b in range(B):
+        assert len(set(i1[b].tolist()) & set(i2[b].tolist())) >= k - 1, b
