@@ -80,9 +80,22 @@ def main():
             lat.append(time.perf_counter() - t0)
         res = idx.search(q_gt, sp)
         achieved = compute_recall(res.ids, gt_ids, 10)
+        # Amortized per-batch DEVICE time: enqueue every batch, sync once —
+        # excludes the per-call tunnel round trip that dominates wall p50
+        # on remote-attached chips (the "excluding tunnel RTT" comparison).
+        q_dev = [jnp.asarray(queries[r * args.batch:(r + 1) * args.batch])
+                 for r in range(min(args.reps, 32))]
+        last = idx._search_device_full(q_dev[0], sp)
+        _ = np.asarray(last[1][:1])
+        t0 = time.perf_counter()
+        for qd in q_dev:
+            last = idx._search_device_full(qd, sp)
+        _ = np.asarray(last[1][:1])
+        device_ms = (time.perf_counter() - t0) / len(q_dev) * 1000
         results[name] = percentiles(lat) | {
             "recall": achieved,
             "scanned": res.timing_info.partitions_scanned,
+            "device_ms_per_batch": device_ms,
         }
         print(name, results[name])
 

@@ -29,7 +29,17 @@ def main():
     ap.add_argument("--out", default="shard_scaling_results.json")
     args = ap.parse_args()
 
+    import os
+
     import jax
+
+    # Honor an explicit CPU request even when the sitecustomize pins the
+    # TPU plugin (see CLAUDE.md "Environment gotchas").
+    if "cpu" in os.environ.get("JAX_PLATFORMS", ""):
+        try:
+            jax.config.update("jax_platforms", "cpu")
+        except Exception:
+            pass
     import jax.numpy as jnp
 
     from quake_tpu import IndexBuildParams, QuakeIndex, SearchParams

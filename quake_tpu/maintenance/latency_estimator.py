@@ -128,6 +128,19 @@ class ListScanLatencyEstimator:
         pids = jnp.asarray(rng.integers(0, Pp, (n_queries, 1)).astype(np.int32))
         for i, n in enumerate(self.n_values):
             C = max(256, -(-int(n) // 256) * 256)
+            kern = kernel
+            if kernel.startswith(("v9", "v8", "v7", "v3p")):
+                # VMEM-budget the groups-per-step for THIS grid point's slab
+                # (C grows with n; the caller's index-shaped gpb choice can
+                # OOM scoped vmem at the big-n cells — the pipeline
+                # double-buffers gpb slabs; same formula as
+                # QuakeIndex._grouped_kernel).
+                slab = C * self.d * 4
+                gpb = max(1, min(4, (12 << 20) // max(2 * slab, 1)))
+                base = kernel[:2] if kernel[:2] in ("v9", "v8", "v7") else "v3p"
+                kern = (f"{base}g{gpb}" if base != "v3p" else f"v3p{gpb}")
+                if slab * 2 > (12 << 20):
+                    kern = "xla"
             codes_np = rng.standard_normal((Pp, C, self.d)).astype(np.float32)
             ids_np = np.full((Pp, C), -1, np.int32)
             nn = min(int(n), C)
@@ -137,13 +150,16 @@ class ListScanLatencyEstimator:
             ids_dev = jnp.asarray(ids_np)
             sizes = jnp.full((Pp,), nn, jnp.int32)
             norms = jnp.sum(codes * codes, axis=2)
+            # Adaptive map-chunk for the XLA backend: each chunk holds
+            # gc * (qt*C scores + C*d slab) floats; budget ~256 MB.
+            gc = max(1, min(64, (1 << 28) // max(C * (qt + self.d) * 4, 1)))
             for j, k in enumerate(self.k_values):
                 kk = max(min(int(k), C), 1)
 
                 def call():
                     return grouped_scan(
                         codes, ids_dev, sizes, norms, q, pids,
-                        kk, "l2", qt, 64, kernel,
+                        kk, "l2", qt, gc, kern,
                     )
 
                 out = call()
