@@ -157,6 +157,7 @@ def aps_loop(
     jax.jit,
     static_argnames=(
         "k", "metric", "dimension", "chunk", "use_precomputed", "qt", "kernel",
+        "small_batch",
     ),
 )
 def aps_search(
@@ -178,6 +179,7 @@ def aps_search(
     sizes=None,
     norms=None,
     gamma=None,
+    small_batch=None,
 ):
     """Adaptive partition scan with recall-target early termination.
 
@@ -201,13 +203,16 @@ def aps_search(
         q, centroids, pids, dimension, use_precomputed, table
     )
 
-    if q.shape[0] <= 128:
-        # Latency mode: at small batch the grouped machinery pays the full
-        # build_groups prologue + kernel grid per while-loop step for a
-        # mostly-empty group layout. A per-rank slab gather ([B, chunk]
-        # partitions per step) is cheap here — the original per-query design,
-        # which only OOMs at production batch. The reference keeps a serial
-        # APS path for exactly this regime (query_coordinator.cpp:471-611).
+    if small_batch is None:
+        # MEASURED NEGATIVE (kernel_ab22, B=64 device time): the per-rank
+        # slab-gather path — the "serial APS" analog built for this regime
+        # (query_coordinator.cpp:471-611) — costs 9.0-9.4 ms/batch vs
+        # 4.9-6.5 ms for the grouped machinery at the same recall: per-query
+        # slab gathers re-read each probed partition per PROBING QUERY,
+        # while the grouped path's prologue is small at B*chunk pairs.
+        # Kept as an explicit opt-in knob only.
+        small_batch = False
+    if small_batch:
         def scan_chunk(eff):
             s, si, _ = ivf_scan(q, eff, codes, ids, sizes, k, metric)
             return s, si

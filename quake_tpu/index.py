@@ -590,7 +590,11 @@ class QuakeIndex:
                     # fine-grained chunks at equal recall.
                     chunk = max(8, -(-parent_k // 2))
                 else:
-                    chunk = 4
+                    # Latency mode: 8 ranked partitions per step (ab22:
+                    # chunk 8 beats 4 on device time, 4.9-5.5 vs 6.4 ms at
+                    # B=64, at equal-or-better recall — fewer while-loop
+                    # steps each re-paying the chunk-scan machinery).
+                    chunk = 8
             qt, group_chunk = self._grouped_params(int(q.shape[0]), chunk)
             if self.mesh is not None:
                 from quake_tpu.parallel.sharded import sharded_aps_search

@@ -53,6 +53,54 @@ class ListScanLatencyEstimator:
         self.k_values = list(k_values or DEFAULT_LATENCY_ESTIMATOR_RANGE_K)
         self.n_trials = int(n_trials)
         self.latency_grid = self._analytic_grid()
+        self._apply_packaged_profile()
+
+    def _apply_packaged_profile(self):
+        """Anchor the default grid to a MEASURED v5e profile when running on
+        a TPU backend. Round-3 validation (experiments/
+        maintenance_grid_validation.py) found the analytic model off by
+        ~7x on average with adjacent-n shape errors up to 5.8x vs the real
+        production kernel — enough to flip split/delete decisions. Instead
+        of profiling at every build (minutes of compiles), the committed
+        measured grid (d=128, v5e) is interpolated onto this estimator's
+        (n, k) points and scaled by d/128 (scan cost is bandwidth-dominated,
+        linear in d). An explicitly profiled or CSV-loaded grid still
+        overrides this (profile_grouped_latency / load)."""
+        if getattr(ListScanLatencyEstimator, "_loading_packaged", False):
+            return  # re-entrancy guard: from_csv below constructs an estimator
+        try:
+            import jax
+
+            if jax.default_backend() != "tpu":
+                return
+        except Exception:
+            return
+        path = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "data", "v5e_grouped_latency_d128.csv")
+        ListScanLatencyEstimator._loading_packaged = True
+        try:
+            ref = ListScanLatencyEstimator.from_csv(path)
+        finally:
+            ListScanLatencyEstimator._loading_packaged = False
+        if ref is None:
+            return
+        scale = self.d / float(ref.d)
+        # Monotone-project the measured reference first: profiling noise can
+        # leave L(n, k) locally decreasing (e.g. k=64 < k=16 at small n) and
+        # the linear extrapolation beyond the measured grid amplifies that
+        # into nonsense; the delta formulas require L non-decreasing in both
+        # n and k.
+        ref.latency_grid = np.maximum.accumulate(
+            np.maximum.accumulate(ref.latency_grid, axis=0), axis=1
+        )
+        for i, n in enumerate(self.n_values):
+            for j, k in enumerate(self.k_values):
+                self.latency_grid[i, j] = (
+                    ref.estimate_scan_latency(float(n), float(k)) * scale
+                )
+        self.latency_grid = np.maximum.accumulate(
+            np.maximum.accumulate(self.latency_grid, axis=0), axis=1
+        )
 
     # -- grid construction -----------------------------------------------------
 

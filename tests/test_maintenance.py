@@ -305,3 +305,25 @@ def test_search_correct_after_maintenance():
     res = idx.search(q, SearchParams(k=10, nprobe=idx.nlist()))
     gt, _ = knn(q, x, 10, "l2")
     assert compute_recall(res.ids, gt, 10) >= 0.99
+
+
+def test_packaged_latency_profile_on_tpu(monkeypatch):
+    """On TPU backends the default latency grid anchors to the committed
+    MEASURED v5e profile (round-3 validation: analytic was ~7x off with
+    shape errors big enough to flip split/delete decisions), scaled by
+    d/128. CPU backends keep the analytic model (hermetic tests)."""
+    import jax as _jax
+
+    from quake_tpu.maintenance.latency_estimator import ListScanLatencyEstimator
+
+    cpu_est = ListScanLatencyEstimator(128)
+    monkeypatch.setattr(_jax, "default_backend", lambda: "tpu")
+    tpu_est = ListScanLatencyEstimator(128)
+    # measured grid differs from analytic
+    assert not np.allclose(cpu_est.latency_grid, tpu_est.latency_grid)
+    # monotone in n at fixed k (required by the delta formulas)
+    g = tpu_est.latency_grid
+    assert (np.diff(g, axis=0) >= -1e-6).all()
+    # d-scaling: doubling d doubles the anchored latencies
+    tpu_est2 = ListScanLatencyEstimator(256)
+    np.testing.assert_allclose(tpu_est2.latency_grid, 2.0 * g, rtol=1e-6)
