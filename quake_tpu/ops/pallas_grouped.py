@@ -497,7 +497,8 @@ def _exact_rescore(top_refs, codes, ids, norms, q, k: int, kfin: int,
 def _global_epilogue(g_packed, gp, group_size, pair_group, pair_slot, pids,
                      codes, ids, norms, q, k: int, kk: int, metric: str,
                      slot_mult: int, levels: int, dedup: bool,
-                     pool_factor: int = 2):
+                     pool_factor: int = 1, merge: str = "xla",
+                     interpret: bool = False):
     """Shared v8/v9 epilogue. Because the quantized keys use ONE global
     scale, they are comparable across groups — the per-query merge runs
     directly in key domain (no dequantize, no per-row stats), and the
@@ -539,35 +540,40 @@ def _global_epilogue(g_packed, gp, group_size, pair_group, pair_slot, pids,
     kfin = min(pool_factor * k, pool)
     pad = poolp - pool
     mk = jnp.pad(m_keys, ((0, 0), (0, pad)), constant_values=-1.0)
-    lane = jax.lax.broadcasted_iota(jnp.int32, (B, poolp), 1)
-    packed2 = jnp.where(mk >= 0.0,
-                        mk * float(lane_mult) + lane.astype(jnp.float32),
-                        -1.0)
-    # Fold to 128 columns (S = poolp/128 <= 2 at nprobe 16 — lossless; wider
-    # pools share the kernel's max2 approximation class).
-    S = poolp // 128
-    m1 = packed2[:, 0:128]
-    m2 = jnp.full((B, 128), -1.0, jnp.float32)
-    for j in range(1, S):
-        seg = packed2[:, j * 128:(j + 1) * 128]
-        m2 = jnp.maximum(m2, jnp.minimum(m1, seg))
-        m1 = jnp.maximum(m1, seg)
-    out_lane = jax.lax.broadcasted_iota(jnp.int32, (B, kfin), 1)
+    if merge == "pallas":
+        pos = _merge_positions_pallas(mk, kfin, lane_mult, 128,
+                                      interpret=interpret)
+    else:
+        lane = jax.lax.broadcasted_iota(jnp.int32, (B, poolp), 1)
+        packed2 = jnp.where(mk >= 0.0,
+                            mk * float(lane_mult) + lane.astype(jnp.float32),
+                            -1.0)
+        # Fold to 128 columns (S = poolp/128 <= 2 at nprobe 16 — lossless;
+        # wider pools share the kernel's max2 approximation class).
+        S = poolp // 128
+        m1 = packed2[:, 0:128]
+        m2 = jnp.full((B, 128), -1.0, jnp.float32)
+        for j in range(1, S):
+            seg = packed2[:, j * 128:(j + 1) * 128]
+            m2 = jnp.maximum(m2, jnp.minimum(m1, seg))
+            m1 = jnp.maximum(m1, seg)
+        out_lane = jax.lax.broadcasted_iota(jnp.int32, (B, kfin), 1)
 
-    def select_round(i, carry):
-        m1c, m2c, out = carry
-        best = jnp.max(m1c, axis=1, keepdims=True)
-        out = jnp.where(out_lane == i, best, out)
-        hit = m1c == best
-        m1c = jnp.where(hit, m2c, m1c)
-        m2c = jnp.where(hit, -1.0, m2c)
-        return m1c, m2c, out
+        def select_round(i, carry):
+            m1c, m2c, out = carry
+            best = jnp.max(m1c, axis=1, keepdims=True)
+            out = jnp.where(out_lane == i, best, out)
+            hit = m1c == best
+            m1c = jnp.where(hit, m2c, m1c)
+            m2c = jnp.where(hit, -1.0, m2c)
+            return m1c, m2c, out
 
-    init = (m1, m2, jnp.full((B, kfin), -1.0, jnp.float32))
-    _, _, out = lax.fori_loop(0, kfin, select_round, init)
-    pos = jnp.mod(out, float(lane_mult)).astype(jnp.int32)
+        init = (m1, m2, jnp.full((B, kfin), -1.0, jnp.float32))
+        _, _, out = lax.fori_loop(0, kfin, select_round, init)
+        pos = jnp.mod(out, float(lane_mult)).astype(jnp.int32)
+        pos = jnp.where(out >= 0.0, pos, -1)
     top_refs = jnp.take_along_axis(m_refs, jnp.clip(pos, 0, pool - 1), axis=1)
-    top_refs = jnp.where(out >= 0.0, top_refs, -1)
+    top_refs = jnp.where(pos >= 0, top_refs, -1)
     return _exact_rescore(top_refs, codes, ids, norms, q, k, kfin, metric,
                           pids)
 
@@ -956,6 +962,63 @@ def _global_bounds(qf, codes, norms, sizes, metric: str, bounds: str):
     return gmin, jnp.maximum(gmax - gmin, 1e-20)
 
 
+def _merge_positions_kernel(kfin: int, lane_mult: int, fold: int):
+    """Pallas per-query merge: fold + kfin packed rounds over a [T, poolp]
+    key tile, emitting winner POSITIONS (lane indices into the pool). One
+    kernel replaces the ~40 small XLA ops of the unfused merge (fold chain
+    + round loop), whose per-op overhead dominates at [B, 256] shapes."""
+
+    def kernel(keys_ref, out_ref):
+        keys = keys_ref[...]
+        T, poolp = keys.shape
+        lane = jax.lax.broadcasted_iota(jnp.int32, (T, poolp), 1)
+        packed = jnp.where(keys >= 0.0,
+                           keys * float(lane_mult) + lane.astype(jnp.float32),
+                           -1.0)
+        S = poolp // fold
+        m1 = packed[:, 0:fold]
+        m2 = jnp.full((T, fold), -1.0, jnp.float32)
+        for j in range(1, S):
+            seg = packed[:, j * fold:(j + 1) * fold]
+            m2 = jnp.maximum(m2, jnp.minimum(m1, seg))
+            m1 = jnp.maximum(m1, seg)
+        out_lane = jax.lax.broadcasted_iota(jnp.int32, (T, kfin), 1)
+
+        def select_round(i, carry):
+            m1c, m2c, out = carry
+            best = jnp.max(m1c, axis=1, keepdims=True)
+            out = jnp.where(out_lane == i, best, out)
+            hit = m1c == best
+            m1c = jnp.where(hit, m2c, m1c)
+            m2c = jnp.where(hit, -1.0, m2c)
+            return m1c, m2c, out
+
+        init = (m1, m2, jnp.full((T, kfin), -1.0, jnp.float32))
+        _, _, out = lax.fori_loop(0, kfin, select_round, init)
+        pos = jnp.mod(out, float(lane_mult)).astype(jnp.int32)
+        out_ref[...] = jnp.where(out >= 0.0, pos, -1)
+
+    return kernel
+
+
+def _merge_positions_pallas(m_keys_padded, kfin: int, lane_mult: int,
+                            fold: int, tile: int = 256,
+                            interpret: bool = False):
+    """[B, poolp] keys -> [B, kfin] winner positions via the Pallas merge."""
+    B, poolp = m_keys_padded.shape
+    Bp = -(-B // tile) * tile
+    mk = jnp.pad(m_keys_padded, ((0, Bp - B), (0, 0)), constant_values=-1.0)
+    out = pl.pallas_call(
+        _merge_positions_kernel(kfin, lane_mult, fold),
+        grid=(Bp // tile,),
+        in_specs=[pl.BlockSpec((tile, poolp), lambda b: (b, 0))],
+        out_specs=pl.BlockSpec((tile, kfin), lambda b: (b, 0)),
+        out_shape=jax.ShapeDtypeStruct((Bp, kfin), jnp.int32),
+        interpret=interpret,
+    )(mk)
+    return out[:B]
+
+
 def _v8_kernel(k: int, slot_mult: int, levels: int, gpb: int, fold: int):
     """v8 (global-scale v7) kernel body: the quantize prologue is ONE fused
     elementwise chain — no per-row reduces, no stats output.
@@ -983,7 +1046,7 @@ def _v8_kernel(k: int, slot_mult: int, levels: int, gpb: int, fold: int):
                     dimension_numbers=(((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 )
-                qk = jnp.clip(jnp.floor(2.0 * prod - norms_refs[j][0, 0][None, :]),
+                qk = jnp.clip(jnp.floor(prod - norms_refs[j][0, 0][None, :]),
                               0.0, float(levels))
                 QT, C = qk.shape
                 lane = jax.lax.broadcasted_iota(jnp.int32, (QT, C), 1)
@@ -999,13 +1062,13 @@ def _v8_kernel(k: int, slot_mult: int, levels: int, gpb: int, fold: int):
 @functools.partial(
     jax.jit,
     static_argnames=("k", "metric", "qt", "gpb", "fold", "dedup",
-                     "pool_factor", "bounds", "interpret"),
+                     "pool_factor", "bounds", "merge", "interpret"),
 )
 def grouped_scan_pallas_v8(codes, ids, sizes, norms, q, pids, k: int,
                             metric: str, qt: int = 32, gpb: int = 4,
                             fold: int = 128, dedup: bool = False,
                             pool_factor: int = 1, bounds: str = "analytic",
-                            interpret: bool = False):
+                            merge: str = "xla", interpret: bool = False):
     """v8: global-scale column-folded grouped scan (see _v8_kernel).
 
     Same inputs/returns as grouped_scan_pallas_v3pn. Selection order is by a
@@ -1029,6 +1092,12 @@ def grouped_scan_pallas_v8(codes, ids, sizes, norms, q, pids, k: int,
     qf = q.astype(jnp.float32)
     gmin, grange = _global_bounds(qf, codes, norms, sizes, metric, bounds)
     ginv = float(levels) / grange
+    # Key = (score - gmin) * ginv with score = 2<q,x> - ||x||^2 (l2) or
+    # <q,x> (ip). The metric's structure moves ENTIRELY into the two
+    # pre-transforms so the kernel's quantize is metric-agnostic
+    # (floor(prod - normsT)): queries carry the score's <q,x> coefficient
+    # times ginv, norms carry the (||x||^2 +) gmin shift times ginv.
+    q_coef = 2.0 * ginv if metric == "l2" else ginv
     normsT = ((norms if metric == "l2" else jnp.zeros_like(norms)) + gmin) * ginv
 
     group_pid, qlist, pair_group, pair_slot = build_groups(pids, P, qt)
@@ -1038,7 +1107,7 @@ def grouped_scan_pallas_v8(codes, ids, sizes, norms, q, pids, k: int,
     ql = jnp.pad(qlist, ((0, Gn - G), (0, 0)), constant_values=-1)
     group_size = jnp.where(gp >= 0, sizes[jnp.maximum(gp, 0)], 0).astype(jnp.int32)
     safe_q = jnp.where(ql >= 0, ql, 0)
-    q_scaled = (qf * ginv).astype(codes.dtype)
+    q_scaled = (qf * q_coef).astype(codes.dtype)
     qg = q_scaled[safe_q]  # [Gn, QT, D]
 
     def slab_spec(j):
@@ -1075,7 +1144,8 @@ def grouped_scan_pallas_v8(codes, ids, sizes, norms, q, pids, k: int,
     return _global_epilogue(g_packed, gp, group_size, pair_group, pair_slot,
                             pids, codes, ids, norms, q, k, kk, metric,
                             slot_mult, levels, dedup,
-                            pool_factor=pool_factor)
+                            pool_factor=pool_factor, merge=merge,
+                            interpret=interpret)
 
 
 def _v9_kernel(k: int, slot_mult: int, levels: int, gpb: int, fold: int):
@@ -1109,7 +1179,7 @@ def _v9_kernel(k: int, slot_mult: int, levels: int, gpb: int, fold: int):
                     preferred_element_type=jnp.float32,
                 )
                 qk = jnp.clip(
-                    jnp.floor(2.0 * prod - norms_refs[j][0, 0][None, :]),
+                    jnp.floor(prod - norms_refs[j][0, 0][None, :]),
                     0.0, float(levels))
                 QT, C = qk.shape
                 lane = jax.lax.broadcasted_iota(jnp.int32, (QT, C), 1)
@@ -1157,13 +1227,13 @@ def _v9_kernel(k: int, slot_mult: int, levels: int, gpb: int, fold: int):
 @functools.partial(
     jax.jit,
     static_argnames=("k", "metric", "qt", "gpb", "fold", "dedup",
-                     "pool_factor", "bounds", "interpret"),
+                     "pool_factor", "bounds", "merge", "interpret"),
 )
 def grouped_scan_pallas_v9(codes, ids, sizes, norms, q, pids, k: int,
                            metric: str, qt: int = 32, gpb: int = 4,
                            fold: int = 128, dedup: bool = False,
                            pool_factor: int = 1, bounds: str = "analytic",
-                           interpret: bool = False):
+                           merge: str = "xla", interpret: bool = False):
     """v9: global-scale quantize + joint rounds (see _v9_kernel). Same
     inputs/returns/semantics as grouped_scan_pallas_v8."""
     B, D = q.shape
@@ -1179,6 +1249,12 @@ def grouped_scan_pallas_v9(codes, ids, sizes, norms, q, pids, k: int,
     qf = q.astype(jnp.float32)
     gmin, grange = _global_bounds(qf, codes, norms, sizes, metric, bounds)
     ginv = float(levels) / grange
+    # Key = (score - gmin) * ginv with score = 2<q,x> - ||x||^2 (l2) or
+    # <q,x> (ip). The metric's structure moves ENTIRELY into the two
+    # pre-transforms so the kernel's quantize is metric-agnostic
+    # (floor(prod - normsT)): queries carry the score's <q,x> coefficient
+    # times ginv, norms carry the (||x||^2 +) gmin shift times ginv.
+    q_coef = 2.0 * ginv if metric == "l2" else ginv
     normsT = ((norms if metric == "l2" else jnp.zeros_like(norms)) + gmin) * ginv
 
     group_pid, qlist, pair_group, pair_slot = build_groups(pids, P, qt)
@@ -1188,7 +1264,7 @@ def grouped_scan_pallas_v9(codes, ids, sizes, norms, q, pids, k: int,
     ql = jnp.pad(qlist, ((0, Gn - G), (0, 0)), constant_values=-1)
     group_size = jnp.where(gp >= 0, sizes[jnp.maximum(gp, 0)], 0).astype(jnp.int32)
     safe_q = jnp.where(ql >= 0, ql, 0)
-    qg = (qf * ginv).astype(codes.dtype)[safe_q]
+    qg = (qf * q_coef).astype(codes.dtype)[safe_q]
 
     def slab_spec(j):
         return pl.BlockSpec(
@@ -1228,7 +1304,8 @@ def grouped_scan_pallas_v9(codes, ids, sizes, norms, q, pids, k: int,
     return _global_epilogue(g_packed, gp, group_size, pair_group, pair_slot,
                             pids, codes, ids, norms, q, k, kk, metric,
                             slot_mult, levels, dedup,
-                            pool_factor=pool_factor)
+                            pool_factor=pool_factor, merge=merge,
+                            interpret=interpret)
 
 
 def _v4_kernel(metric: str, k: int, slot_mult: int, levels: int, gpb: int,

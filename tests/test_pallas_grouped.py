@@ -557,3 +557,44 @@ def test_v9_sampled_bounds_interpret():
     i1, i2 = np.asarray(i1), np.asarray(i2)
     for b in range(B):
         assert len(set(i1[b].tolist()) & set(i2[b].tolist())) >= k - 1, b
+
+
+@pytest.mark.parametrize("variant_name", ["v8", "v9"])
+def test_v8_unit_norm_ip_no_key_clipping(variant_name):
+    """Regression (round-3 DEEP config, recall 0.003): the global-scale
+    kernels hardcoded the l2 score form (2*prod), pushing every IP score
+    above (gmax+gmin)/2 past the key-clip ceiling — on unit-norm corpora
+    that is ALL top candidates, collapsing selection to lane order. Keys
+    must stay un-clipped across the realizable IP range: exact-oracle
+    overlap on unit-norm data where top cosines approach the bound."""
+    from quake_tpu.ops.pallas_grouped import (
+        grouped_scan_pallas_v8,
+        grouped_scan_pallas_v9,
+    )
+
+    variant = {"v8": grouped_scan_pallas_v8,
+               "v9": grouped_scan_pallas_v9}[variant_name]
+    rng = np.random.default_rng(21)
+    P, C, D, B, nprobe, k, qt = 8, 256, 16, 16, 4, 5, 8
+    codes = rng.standard_normal((P, C, D)).astype(np.float32)
+    codes /= np.linalg.norm(codes, axis=2, keepdims=True)
+    ids = np.arange(P * C, dtype=np.int32).reshape(P, C)
+    sizes = np.full(P, C, np.int32)
+    norms = (codes ** 2).sum(axis=2)
+    # queries NEAR stored vectors: top cosines ~0.99, the clip region
+    q = codes[rng.integers(0, P, B), rng.integers(0, C, B)].copy()
+    q += 0.05 * rng.standard_normal((B, D)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    pids = np.stack([rng.permutation(P)[:nprobe] for _ in range(B)]).astype(np.int32)
+
+    s1, i1, _ = grouped_scan_xla(
+        jnp.asarray(codes), jnp.asarray(ids), jnp.asarray(q), jnp.asarray(pids),
+        k, "ip", qt=qt, group_chunk=4)
+    s2, i2, _ = variant(
+        jnp.asarray(codes), jnp.asarray(ids), jnp.asarray(sizes),
+        jnp.asarray(norms), jnp.asarray(q), jnp.asarray(pids), k, "ip",
+        qt=qt, gpb=2, interpret=True)
+    i1, i2 = np.asarray(i1), np.asarray(i2)
+    for b in range(B):
+        ov = len(set(i1[b].tolist()) & set(i2[b].tolist()))
+        assert ov >= k - 1, (b, i1[b], i2[b])
