@@ -84,10 +84,11 @@ def run_deep():
     gt = np.asarray(gt32).astype(np.int64)
     sp = SearchParams(k=10, recall_target=0.9, initial_search_fraction=0.125,
                       aps_chunk_size=4)
+    res = idx.search(q, sp)  # warm: compile excluded from the timed call
+    recall = compute_recall(res.ids, gt, 10)
     t0 = time.perf_counter()
     res = idx.search(q, sp)
     lat = time.perf_counter() - t0
-    recall = compute_recall(res.ids, gt, 10)
     return {"metric": f"deep-like 1M x96 ip APS@0.9 achieved={recall:.3f} scanned={res.timing_info.partitions_scanned} build_s={build_s:.1f}",
             "value": round(len(q) / lat, 1), "unit": "qps"}
 

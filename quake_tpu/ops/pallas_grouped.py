@@ -1068,7 +1068,7 @@ def grouped_scan_pallas_v8(codes, ids, sizes, norms, q, pids, k: int,
                             metric: str, qt: int = 32, gpb: int = 4,
                             fold: int = 128, dedup: bool = False,
                             pool_factor: int = 1, bounds: str = "analytic",
-                            merge: str = "xla", interpret: bool = False):
+                            merge: str = "pallas", interpret: bool = False):
     """v8: global-scale column-folded grouped scan (see _v8_kernel).
 
     Same inputs/returns as grouped_scan_pallas_v3pn. Selection order is by a
@@ -1233,7 +1233,7 @@ def grouped_scan_pallas_v9(codes, ids, sizes, norms, q, pids, k: int,
                            metric: str, qt: int = 32, gpb: int = 4,
                            fold: int = 128, dedup: bool = False,
                            pool_factor: int = 1, bounds: str = "analytic",
-                           merge: str = "xla", interpret: bool = False):
+                           merge: str = "pallas", interpret: bool = False):
     """v9: global-scale quantize + joint rounds (see _v9_kernel). Same
     inputs/returns/semantics as grouped_scan_pallas_v8."""
     B, D = q.shape
