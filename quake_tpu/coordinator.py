@@ -229,6 +229,126 @@ def aps_search(
     )
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "k", "metric", "dimension", "chunk0", "use_precomputed", "qt",
+        "kernel",
+    ),
+)
+def aps_search_planned(
+    codes,
+    ids,
+    centroids,
+    q,
+    pids,
+    recall_target,
+    k: int,
+    metric: str,
+    dimension: int,
+    chunk0: int = 4,
+    use_precomputed: bool = True,
+    table=None,
+    qt: int = 32,
+    kernel: str = "xla",
+    sizes=None,
+    norms=None,
+    gamma=None,
+):
+    """Two-phase ("planned") APS: prologue scan -> per-query probe plan ->
+    ONE masked tail scan. Replaces the while_loop for production batches.
+
+    The while-loop APS re-pays the full grouped machinery (build_groups
+    prologue + kernel + merge/rescore epilogue + termination math) on every
+    chunk step — measured 1.85x the equal-recall fixed-nprobe cost at
+    B=4096 (round-3 STATUS #3). This path scans the top `chunk0` ranked
+    partitions once, computes the recall profile from the resulting k-th
+    distance, derives each query's needed rank count n_b directly (smallest
+    n whose exclusive cumulative probability passes the target — the same
+    conservative convention as the loop, query_coordinator.cpp:573-576),
+    and scans ranks [chunk0, n_b) in a single masked grouped scan.
+
+    Adherence semantics are preserved: the phase-1 radius is an upper bound
+    on the final k-th distance (more scanning only improves it), and a
+    larger radius shifts probability mass OUT of the ranked prefix, so the
+    plan can only overscan relative to the loop, never underscan. The
+    recompute_threshold knob does not apply (there is exactly one profile
+    computation).
+
+    Returns (scores [B,k], ids [B,k], partitions_scanned [B]).
+    """
+    boundary, valid, table = aps_setup(
+        q, centroids, pids, dimension, use_precomputed, table
+    )
+
+    def scan(eff):
+        s, si, _ = grouped_scan(
+            codes, ids, sizes, norms, q, eff, k, metric, qt, 64, kernel
+        )
+        return s, si
+
+    return aps_plan(
+        q, pids, boundary, valid, table, recall_target, k, metric, dimension,
+        chunk0, use_precomputed, scan, gamma=gamma,
+    )
+
+
+def aps_plan(q, pids, boundary, valid, table, recall_target, k: int,
+             metric: str, dimension: int, chunk0: int, use_precomputed: bool,
+             scan_chunk, gamma=None, plan_round: int = 4):
+    """Planned-APS core, shared by the single-device and shard_map paths
+    (see aps_search_planned). `scan_chunk(eff)` scans a [B, m] pid matrix
+    (-1 = skip) and returns merged per-query (scores [B,k], ids [B,k]) — on
+    a mesh it wraps the local scan plus the cross-device merge, so the plan
+    below is computed from replicated-identical state on every device.
+
+    plan_round: tail ranks are rounded UP to this granularity. The loop
+    path stops only at chunk multiples, and the build-time calibration
+    inherits that overshoot as an adherence cushion — a cushionless exact
+    plan measured 0.869 achieved at target 0.9 (experiments/aps_planned_ab,
+    loop same run: 0.906)."""
+    B, M = pids.shape
+    c0 = min(chunk0, M)
+
+    eff0 = pids[:, :c0]
+    s0, i0 = scan_chunk(eff0)
+
+    kth = s0[:, k - 1]
+    if metric == "l2":
+        radius = jnp.sqrt(jnp.maximum(-kth, 0.0))
+    else:
+        q_sq = jnp.sum(q.astype(jnp.float32) ** 2, axis=1)
+        radius = jnp.sqrt(jnp.maximum(q_sq + 1.0 - 2.0 * kth, 0.0))
+    radius = jnp.where(jnp.isfinite(kth), radius, jnp.inf)
+    probs = geometry.recall_profile(
+        boundary, radius, dimension, "l2", use_precomputed, table, valid,
+        gamma=gamma,
+    )
+
+    # n_b = smallest n with sum_{i < n-1} probs_i >= target (exclusive
+    # convention): cs[j] = sum_{i<=j} -> condition met at n = j + 2.
+    cs = jnp.cumsum(probs, axis=1)
+    hit = cs >= recall_target
+    first = jnp.argmax(hit, axis=1)  # first j with cs[j] >= target
+    n_b = jnp.where(jnp.any(hit, axis=1), first + 2, M)
+    tail = jnp.clip(n_b - c0, 0, None)
+    tail = -(-tail // plan_round) * plan_round  # ceil to plan_round
+    n_b = jnp.clip(c0 + tail, c0, M)
+
+    rank_idx = jnp.arange(M, dtype=jnp.int32)[None, :]
+    tail_mask = (rank_idx >= c0) & (rank_idx < n_b[:, None])
+    if M > c0:
+        eff1 = jnp.where(tail_mask[:, c0:], pids[:, c0:], -1)
+        s1, i1 = scan_chunk(eff1)
+        scores, sids = merge_topk(s0, i0, s1, i1, k)
+        n1 = jnp.sum((eff1 >= 0).astype(jnp.int32), axis=1)
+    else:
+        scores, sids = s0, i0
+        n1 = jnp.zeros((B,), jnp.int32)
+    scanned = jnp.sum((eff0 >= 0).astype(jnp.int32), axis=1) + n1
+    return scores, sids, scanned
+
+
 def grouped_scan(codes, ids, sizes, norms, q, pids, k: int, metric: str,
                  qt: int, group_chunk: int, kernel: str,
                  dedup: bool = False):
@@ -286,18 +406,22 @@ def grouped_scan(codes, ids, sizes, norms, q, pids, k: int, metric: str,
             f"kernel {kernel!r} does not support dedup (spilled stores); "
             "use the default v3pN, v4, v5/v6, v7, or xla backends"
         )
-    if kernel.startswith("v7") or kernel.startswith("v8") or kernel.startswith("v9"):
+    if (kernel.startswith("v7") or kernel.startswith("v8")
+            or kernel.startswith("v9") or kernel.startswith("v10")):
         from quake_tpu.ops.pallas_grouped import (
             grouped_scan_pallas_v7,
             grouped_scan_pallas_v8,
             grouped_scan_pallas_v9,
+            grouped_scan_pallas_v10,
         )
 
+        name = "v10" if kernel.startswith("v10") else kernel[:2]
         fn = {"v7": grouped_scan_pallas_v7,
               "v8": grouped_scan_pallas_v8,
-              "v9": grouped_scan_pallas_v9}[kernel[:2]]
+              "v9": grouped_scan_pallas_v9,
+              "v10": grouped_scan_pallas_v10}[name]
         gpb, fold = 4, 128
-        spec = kernel[2:]  # "", "g8", "g4f256", "f256"
+        spec = kernel[len(name):]  # "", "g8", "g4f256", "f256"
         if "f" in spec:
             spec, fs = spec.split("f")
             fold = int(fs)

@@ -458,13 +458,14 @@ class QuakeIndex:
         """Grouped-scan backend choice. Mosaic kernels only lower on real TPU
         backends (measured ~5x over the chunked-XLA grouped scan); the
         QUAKE_TPU_KERNEL env var overrides for A/B runs ("xla"/"v2"/"v3"/
-        "v3p"/"v7"/"v8"/"v9").
+        "v3p"/"v7"/"v8"/"v9"/"v10").
 
-        Production default (round 3): v9 — global-scale quantize (one fused
-        elementwise chain, no per-row reduces, no stats output) + column-
-        folded max2 selection with joint rounds over a [gpb*qt, fold]
-        scratch. Same-run A/B vs v3p4: 9.45 vs 11.48 ms at B=4096/nprobe=16
-        (kernel_ab15/16). The dispatch falls back to v3pn when C % 128 != 0.
+        Production default (round 3): v10 — the v9 kernel (global-scale
+        quantize + joint selection rounds) with the SCATTER epilogue: one
+        [n, kk] row scatter replaces the inverse-permutation + pair-gather
+        pathway (kernel_ab24 same-run: 6.53 vs 7.51 ms standalone, fused
+        7.81 vs 8.88 ms at B=4096/nprobe=16 bf16). The dispatch falls back
+        to v3pn when C % 128 != 0.
 
         Groups-per-step is budgeted against VMEM: the pipeline double-buffers
         gpb slabs of C*D elements (a 960-d store with C=640 OOMs scoped vmem
@@ -477,7 +478,7 @@ class QuakeIndex:
                 elt = 2 if self.store.state.codes.dtype == jnp.bfloat16 else 4
                 slab = self.store.C * self.d() * elt
                 gpb = max(1, min(4, (12 << 20) // max(2 * slab, 1)))
-                return f"v9g{gpb}" if slab * 2 <= (12 << 20) else "xla"
+                return f"v10g{gpb}" if slab * 2 <= (12 << 20) else "xla"
         except Exception:
             pass
         return "xla"
@@ -491,6 +492,20 @@ class QuakeIndex:
         slab_bytes = self.store.C * self.d() * 4
         group_chunk = max(8, min(128, (1 << 27) // max(slab_bytes, 1)))
         return qt, group_chunk
+
+    def _planned_chunk0(self, B: int, parent_k: int) -> int:
+        """Phase-1 (prologue) rank count for planned APS — sized to the
+        while-loop's FIRST chunk (see the aps_chunk_size auto logic above),
+        so the phase-1 radius matches the information the loop has after
+        its first step. A small prologue (4 ranks) measured both slower
+        (an extra full machinery pass for little radius) and adherence-
+        negative (0.869 achieved at target 0.9, experiments/aps_planned_ab);
+        the half-candidate prologue restores the loop's first-step radius
+        and the plan_round tail rounding restores its chunk-granularity
+        cushion."""
+        if B >= 1024:
+            return max(8, -(-parent_k // 2))
+        return min(8, max(parent_k, 1))
 
     def _search_device(self, q, sp: SearchParams, approx_flat: bool = False):
         """Device-resident search; returns (scores, int32 ids, timing).
@@ -596,55 +611,97 @@ class QuakeIndex:
                     # steps each re-paying the chunk-scan machinery).
                     chunk = 8
             qt, group_chunk = self._grouped_params(int(q.shape[0]), chunk)
+            # Spilled stores run the scan at 2k and dedup after: the chunk
+            # merges can carry both copies of a neighbor, and the 2k-th
+            # distance makes the recall model conservative.
+            k_eff = 2 * k if self.spill else k
+            mode = sp.aps_mode
+            if mode == "auto":
+                # Production batches: the planned path pays the grouped
+                # machinery twice total instead of once per while-loop
+                # chunk (see coordinator.aps_search_planned).
+                mode = ("planned" if int(q.shape[0]) >= 1024
+                        else "loop")
             if self.mesh is not None:
-                from quake_tpu.parallel.sharded import sharded_aps_search
-
-                # Spilled stores: run the loop at 2k and dedup after (same
-                # trick as the single-device branch below; the 2k-th radius
-                # keeps the recall model conservative).
-                k_eff = 2 * k if self.spill else k
-                scores, ids32, scanned = sharded_aps_search(
-                    self.mesh, state.codes, state.ids, state.centroids,
-                    q, pids,
-                    jnp.float32(sp.recall_target),
-                    jnp.float32(sp.recompute_threshold),
-                    k=k_eff, metric=self.metric,
-                    dimension=self.aps_dimension or self.d(),
-                    chunk=chunk, use_precomputed=bool(sp.use_precomputed),
-                    table=table, qt=qt, group_chunk=group_chunk,
-                    gamma=(jnp.float32(self.aps_gamma)
-                           if self.aps_gamma != 1.0 else None),
+                from quake_tpu.parallel.sharded import (
+                    sharded_aps_search,
+                    sharded_aps_search_planned,
                 )
+
+                if mode == "planned":
+                    scores, ids32, scanned = sharded_aps_search_planned(
+                        self.mesh, state.codes, state.ids, state.centroids,
+                        q, pids,
+                        jnp.float32(sp.recall_target),
+                        k=k_eff, metric=self.metric,
+                        dimension=self.aps_dimension or self.d(),
+                        chunk0=self._planned_chunk0(int(q.shape[0]), parent_k),
+                        use_precomputed=bool(sp.use_precomputed),
+                        table=table, qt=qt, group_chunk=group_chunk,
+                        gamma=(jnp.float32(self.aps_gamma)
+                               if self.aps_gamma != 1.0 else None),
+                    )
+                else:
+                    scores, ids32, scanned = sharded_aps_search(
+                        self.mesh, state.codes, state.ids, state.centroids,
+                        q, pids,
+                        jnp.float32(sp.recall_target),
+                        jnp.float32(sp.recompute_threshold),
+                        k=k_eff, metric=self.metric,
+                        dimension=self.aps_dimension or self.d(),
+                        chunk=chunk, use_precomputed=bool(sp.use_precomputed),
+                        table=table, qt=qt, group_chunk=group_chunk,
+                        gamma=(jnp.float32(self.aps_gamma)
+                               if self.aps_gamma != 1.0 else None),
+                    )
                 if self.spill:
                     from quake_tpu.ops.scan import dedup_topk
 
                     scores, ids32 = dedup_topk(scores, ids32, k)
             else:
-                # Spilled stores run the loop at 2k and dedup after: the
-                # chunk merges can carry both copies of a neighbor, and the
-                # 2k-th distance makes the recall model conservative.
-                k_eff = 2 * k if self.spill else k
-                scores, ids32, scanned = coordinator.aps_search(
-                    state.codes,
-                    state.ids,
-                    state.centroids,
-                    q,
-                    pids,
-                    jnp.float32(sp.recall_target),
-                    jnp.float32(sp.recompute_threshold),
-                    k=k_eff,
-                    metric=self.metric,
-                    dimension=self.aps_dimension or self.d(),
-                    chunk=chunk,
-                    use_precomputed=bool(sp.use_precomputed),
-                    table=table,
-                    qt=qt,
-                    kernel=self._grouped_kernel(),
-                    sizes=state.sizes,
-                    norms=state.norms,
-                    gamma=(jnp.float32(self.aps_gamma)
-                           if self.aps_gamma != 1.0 else None),
-                )
+                if mode == "planned":
+                    scores, ids32, scanned = coordinator.aps_search_planned(
+                        state.codes,
+                        state.ids,
+                        state.centroids,
+                        q,
+                        pids,
+                        jnp.float32(sp.recall_target),
+                        k=k_eff,
+                        metric=self.metric,
+                        dimension=self.aps_dimension or self.d(),
+                        chunk0=self._planned_chunk0(int(q.shape[0]), parent_k),
+                        use_precomputed=bool(sp.use_precomputed),
+                        table=table,
+                        qt=qt,
+                        kernel=self._grouped_kernel(),
+                        sizes=state.sizes,
+                        norms=state.norms,
+                        gamma=(jnp.float32(self.aps_gamma)
+                               if self.aps_gamma != 1.0 else None),
+                    )
+                else:
+                    scores, ids32, scanned = coordinator.aps_search(
+                        state.codes,
+                        state.ids,
+                        state.centroids,
+                        q,
+                        pids,
+                        jnp.float32(sp.recall_target),
+                        jnp.float32(sp.recompute_threshold),
+                        k=k_eff,
+                        metric=self.metric,
+                        dimension=self.aps_dimension or self.d(),
+                        chunk=chunk,
+                        use_precomputed=bool(sp.use_precomputed),
+                        table=table,
+                        qt=qt,
+                        kernel=self._grouped_kernel(),
+                        sizes=state.sizes,
+                        norms=state.norms,
+                        gamma=(jnp.float32(self.aps_gamma)
+                               if self.aps_gamma != 1.0 else None),
+                    )
                 if self.spill:
                     from quake_tpu.ops.scan import dedup_topk
 

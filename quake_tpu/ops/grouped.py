@@ -195,6 +195,72 @@ def _build_groups_sort(pids, nlist_cap: int, qt: int, inv_mode: str = "scatter")
     return group_pid, qlist, pair_group, pair_slot
 
 
+@functools.partial(jax.jit, static_argnames=("nlist_cap", "qt"))
+def build_groups_scatter(pids, nlist_cap: int, qt: int):
+    """build_groups variant for the SCATTER epilogue (v10): returns, instead
+    of the pair-major (pair_group, pair_slot) inverse permutation, the flat
+    pair index of every kernel row — so the epilogue can scatter kernel
+    output rows straight into pair-major order.
+
+    Kernel row (g, t) covers sorted position pos = offs[p] + tile*qt + t;
+    its original pair is order[pos] = b*nprobe + j. That array is already
+    materialized for qlist (qs = order[pos] // nprobe), so dropping the
+    inverse permutation removes the [n] scatter (0.6-0.9 ms at bench shape,
+    kernel_ab10) and the rank arithmetic at zero added gathers.
+
+    Returns:
+      group_pid [G] int32    partition of each group (-1 = unused)
+      qlist     [G, QT]      query indices per group (-1 = pad)
+      tgt       [G, QT]      flat pair index (b*nprobe + j) of each kernel
+                             row; n = B*nprobe for invalid rows (scatter to
+                             a discard slot)
+    """
+    B, nprobe = pids.shape
+    G = group_layout(B, nprobe, nlist_cap, qt)
+    n = B * nprobe
+    P = nlist_cap
+    flat_pid = pids.reshape(-1)
+    iota_n = jnp.arange(n, dtype=jnp.int32)
+
+    if (P + 1) * n <= 2**31 - 1:
+        key_sorted = jnp.sort((flat_pid + 1) * n + iota_n)
+        order = key_sorted - (key_sorted // n) * n
+        offs = jnp.searchsorted(
+            key_sorted, (jnp.arange(P + 1, dtype=jnp.int32) + 1) * n
+        ).astype(jnp.int32)
+    else:
+        order = jnp.argsort(flat_pid, stable=True).astype(jnp.int32)
+        p_sorted = flat_pid[order]
+        offs = jnp.searchsorted(
+            p_sorted, jnp.arange(P + 1, dtype=jnp.int32)
+        ).astype(jnp.int32)
+
+    counts = offs[1:] - offs[:-1]
+    groups_of = (counts + qt - 1) // qt
+    gbase = jnp.cumsum(groups_of) - groups_of
+    total_groups = jnp.where(P > 0, gbase[-1] + groups_of[-1], 0)
+
+    g_iota = jnp.arange(G, dtype=jnp.int32)
+    p_iota = jnp.arange(P, dtype=jnp.int32)
+    marks = jnp.zeros((G + 1,), jnp.int32).at[
+        jnp.where(groups_of > 0, gbase, G)
+    ].max(p_iota + 1, mode="drop")
+    p_of_g = lax.cummax(marks[:G]) - 1
+    p_of_g = jnp.clip(p_of_g, 0, P - 1)
+    g_valid = g_iota < total_groups
+    group_pid = jnp.where(g_valid, p_of_g, -1)
+    tile = g_iota - gbase[p_of_g]
+    start = offs[p_of_g] + tile * qt
+    lane = jnp.arange(qt, dtype=jnp.int32)
+    pos = start[:, None] + lane[None, :]
+    in_run = pos < (offs[p_of_g] + counts[p_of_g])[:, None]
+    tgt_raw = order[jnp.clip(pos, 0, n - 1)]  # [G, qt] flat pair index
+    valid = g_valid[:, None] & in_run
+    qlist = jnp.where(valid, tgt_raw // nprobe, -1)
+    tgt = jnp.where(valid, tgt_raw, n)
+    return group_pid, qlist, tgt
+
+
 @functools.partial(jax.jit, static_argnames=("nlist_cap", "qt", "ct", "cap"))
 def build_chunk_groups(pids, sizes, nlist_cap: int, qt: int, ct: int, cap: int):
     """Chunk-level grouping for the size-aware v4 kernel.

@@ -1308,6 +1308,186 @@ def grouped_scan_pallas_v9(codes, ids, sizes, norms, q, pids, k: int,
                             interpret=interpret)
 
 
+def _scatter_epilogue(g_packed, tgt, pids, codes, ids, norms, q, k: int,
+                      kk: int, metric: str, slot_mult: int, levels: int,
+                      dedup: bool, pool_factor: int = 1, merge: str = "pallas",
+                      interpret: bool = False):
+    """v10 epilogue: ONE row scatter replaces the whole pair-major pathway.
+
+    The v8/v9 epilogue derives (keys, refs) over the full [Gn, qt, kk]
+    kernel output (1.3M elements at bench shape), then pair-gathers both
+    through the (pair_group, pair_slot) inverse permutation. Here the
+    kernel rows are scattered straight into pair-major order via tgt (the
+    flat pair index each row belongs to, from build_groups_scatter):
+
+      m_packed[b*nprobe + j] = g_packed_row  — one [n, kk] scatter
+
+    and everything downstream works at pool size [B, nprobe*kk]:
+      * merge keys  = floor(m_packed / slot_mult)  (pool-side, not 1.3M)
+      * winner refs = (pids[b, pos//kk] << 16) | (m_packed[pos] % slot_mult)
+        computed ONLY for the kfin winners (or the pool, on the dedup path)
+
+    so the [n] inverse-permutation scatter, both [n, kk] pair gathers, and
+    the full-size refs tensor disappear. Invalid rows target the discard
+    slot n. Ghost-group rows carry packed = -1 (the kernel's ghost branch)
+    and stay invalid.
+    """
+    B, nprobe = pids.shape
+    n = B * nprobe
+    rows = g_packed.reshape(-1, g_packed.shape[-1])  # [Gn*qt, kk]
+    mp = jnp.full((n + 1, kk), -1.0, jnp.float32).at[tgt.reshape(-1)].set(
+        rows, mode="drop")
+    pool = nprobe * kk
+    m_packed = mp[:n].reshape(B, pool)
+    m_keys = jnp.where(m_packed >= 0.0,
+                       jnp.floor(m_packed / float(slot_mult)), -1.0)
+
+    poolp = -(-pool // 128) * 128
+    lane_mult = max(poolp, 2)
+    if dedup or (levels * lane_mult + lane_mult) >= (1 << 24):
+        # General/dedup path: build pool-side refs and reuse the shared
+        # top-k + dedup + exact-rescore tail.
+        slot = jnp.mod(m_packed, float(slot_mult)).astype(jnp.int32)
+        pid_b = jnp.broadcast_to(
+            pids[:, :, None], (B, nprobe, kk)).reshape(B, pool)
+        ok = (m_packed >= 0.0) & (pid_b >= 0)
+        m_refs = jnp.where(ok, (jnp.maximum(pid_b, 0) << 16) | slot, -1)
+        m_scores = jnp.where(ok, m_keys, NEG_INF)
+        return _rescore_topk(m_scores, m_refs, codes, ids, norms, q, k, kk,
+                             metric, pids, dedup=dedup)
+
+    kfin = min(pool_factor * k, pool)
+    mk = jnp.pad(m_keys, ((0, 0), (0, poolp - pool)), constant_values=-1.0)
+    if merge == "pallas":
+        pos = _merge_positions_pallas(mk, kfin, lane_mult, 128,
+                                      interpret=interpret)
+    else:
+        lane = jax.lax.broadcasted_iota(jnp.int32, (B, poolp), 1)
+        packed2 = jnp.where(mk >= 0.0,
+                            mk * float(lane_mult) + lane.astype(jnp.float32),
+                            -1.0)
+        S = poolp // 128
+        m1 = packed2[:, 0:128]
+        m2 = jnp.full((B, 128), -1.0, jnp.float32)
+        for j in range(1, S):
+            seg = packed2[:, j * 128:(j + 1) * 128]
+            m2 = jnp.maximum(m2, jnp.minimum(m1, seg))
+            m1 = jnp.maximum(m1, seg)
+        out_lane = jax.lax.broadcasted_iota(jnp.int32, (B, kfin), 1)
+
+        def select_round(i, carry):
+            m1c, m2c, out = carry
+            best = jnp.max(m1c, axis=1, keepdims=True)
+            out = jnp.where(out_lane == i, best, out)
+            hit = m1c == best
+            m1c = jnp.where(hit, m2c, m1c)
+            m2c = jnp.where(hit, -1.0, m2c)
+            return m1c, m2c, out
+
+        init = (m1, m2, jnp.full((B, kfin), -1.0, jnp.float32))
+        _, _, out = lax.fori_loop(0, kfin, select_round, init)
+        pos = jnp.mod(out, float(lane_mult)).astype(jnp.int32)
+        pos = jnp.where(out >= 0.0, pos, -1)
+
+    posc = jnp.clip(pos, 0, pool - 1)
+    pk = jnp.take_along_axis(m_packed, posc, axis=1)  # [B, kfin]
+    slot = jnp.mod(pk, float(slot_mult)).astype(jnp.int32)
+    wpid = jnp.take_along_axis(pids, posc // kk, axis=1)
+    valid = (pos >= 0) & (pk >= 0.0) & (wpid >= 0)
+    top_refs = jnp.where(valid, (jnp.maximum(wpid, 0) << 16) | slot, -1)
+    return _exact_rescore(top_refs, codes, ids, norms, q, k, kfin, metric,
+                          pids)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "metric", "qt", "gpb", "fold", "dedup",
+                     "pool_factor", "bounds", "merge", "interpret"),
+)
+def grouped_scan_pallas_v10(codes, ids, sizes, norms, q, pids, k: int,
+                            metric: str, qt: int = 64, gpb: int = 4,
+                            fold: int = 128, dedup: bool = False,
+                            pool_factor: int = 1, bounds: str = "analytic",
+                            merge: str = "pallas", interpret: bool = False):
+    """v10: the v9 kernel (global-scale quantize + joint rounds) with the
+    scatter epilogue (see _scatter_epilogue) over build_groups_scatter.
+    Same inputs/returns/semantics as grouped_scan_pallas_v9 — membership
+    can differ from v9 only at quantization ties (the merge pools the same
+    candidates in a different lane order)."""
+    from quake_tpu.ops.grouped import build_groups_scatter
+
+    B, D = q.shape
+    P, C, _ = codes.shape
+    if P >= 32768 or C > 65536:
+        raise ValueError("v10 packs (pid, slot) into int32: needs P < 32768, C <= 65536")
+    if C % fold:
+        raise ValueError(f"v10 needs C % fold == 0 (C={C}, fold={fold})")
+    kk = min(k, C)
+    slot_mult = max(1 << (int(C - 1).bit_length()), 2)
+    levels = (1 << 24) // slot_mult - 2
+
+    qf = q.astype(jnp.float32)
+    gmin, grange = _global_bounds(qf, codes, norms, sizes, metric, bounds)
+    ginv = float(levels) / grange
+    q_coef = 2.0 * ginv if metric == "l2" else ginv
+    normsT = ((norms if metric == "l2" else jnp.zeros_like(norms)) + gmin) * ginv
+
+    group_pid, qlist, tgt = build_groups_scatter(pids, P, qt)
+    G = group_pid.shape[0]
+    Gn = -(-G // gpb) * gpb
+    gp = jnp.pad(group_pid, (0, Gn - G), constant_values=-1)
+    ql = jnp.pad(qlist, ((0, Gn - G), (0, 0)), constant_values=-1)
+    tgt = jnp.pad(tgt, ((0, Gn - G), (0, 0)),
+                  constant_values=B * pids.shape[1])
+    group_size = jnp.where(gp >= 0, sizes[jnp.maximum(gp, 0)], 0).astype(jnp.int32)
+    # Ghost-skipped groups (size 0) leave stale VMEM in the joint-select
+    # scratch (the ghost branch only clears m1) — route their rows to the
+    # discard slot instead of masking a full-size alive tensor like v9.
+    tgt = jnp.where((group_size > 0)[:, None], tgt, B * pids.shape[1])
+    safe_q = jnp.where(ql >= 0, ql, 0)
+    qg = (qf * q_coef).astype(codes.dtype)[safe_q]
+
+    def slab_spec(j):
+        return pl.BlockSpec(
+            (1, C, D), lambda g, gp_, gs: (jnp.maximum(gp_[gpb * g + j], 0), 0, 0)
+        )
+
+    def norms_spec(j):
+        return pl.BlockSpec(
+            (1, 1, C), lambda g, gp_, gs: (jnp.maximum(gp_[gpb * g + j], 0), 0, 0)
+        )
+
+    kernel = _v9_kernel(kk, slot_mult, levels, gpb, fold)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(Gn // gpb,),
+        in_specs=(
+            [pl.BlockSpec((gpb, qt, D), lambda g, gp_, gs: (g, 0, 0))]
+            + [slab_spec(j) for j in range(gpb)]
+            + [norms_spec(j) for j in range(gpb)]
+        ),
+        out_specs=[
+            pl.BlockSpec((gpb, qt, kk), lambda g, gp_, gs: (g, 0, 0)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((gpb * qt, fold), jnp.float32),
+            pltpu.VMEM((gpb * qt, fold), jnp.float32),
+        ],
+    )
+    out_shape = [jax.ShapeDtypeStruct((Gn, qt, kk), jnp.float32)]
+    (g_packed,) = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(gp, group_size, qg, *([codes] * gpb), *([normsT.reshape(P, 1, C)] * gpb))
+
+    return _scatter_epilogue(g_packed, tgt, pids, codes, ids, norms, q, k,
+                             kk, metric, slot_mult, levels, dedup,
+                             pool_factor=pool_factor, merge=merge,
+                             interpret=interpret)
+
+
 def _v4_kernel(metric: str, k: int, slot_mult: int, levels: int, gpb: int,
                mat_qg: bool = False):
     """v4 chunked kernel body: one v3p selection per (partition, query-tile,

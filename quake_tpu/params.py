@@ -173,6 +173,13 @@ class SearchParams:
     # each step re-pays the probed-partition group cost, so coarser chunks
     # win once the batch is large enough that most partitions are probed.
     aps_chunk_size: int = 0
+    # APS execution strategy: "auto" picks "planned" (prologue scan ->
+    # one-shot per-query probe plan -> single masked tail scan; two fused
+    # programs, no while loop) at production batch on a single device, and
+    # "loop" (lax.while_loop over ranked chunks — the reference's polling
+    # semantics, query_coordinator.cpp:383-430) otherwise. Explicit values
+    # pin the strategy.
+    aps_mode: str = "auto"
 
     def copy(self) -> "SearchParams":
         return dataclasses.replace(self)

@@ -159,6 +159,46 @@ def test_aps_recall_target_adherence(metric):
     assert res_low.timing_info.partitions_scanned < 100
 
 
+@pytest.mark.parametrize("metric", ["l2", "ip"])
+def test_aps_planned_mode_adherence(metric):
+    """Planned (two-phase) APS: prologue scan -> one-shot probe plan ->
+    masked tail scan. Must adhere to the target like the while-loop path
+    (its plan can only overscan: the phase-1 radius upper-bounds the final
+    k-th distance) and scan no more than the full candidate set."""
+    from quake_tpu import IndexBuildParams, QuakeIndex, SearchParams
+    from quake_tpu.utils import compute_recall, knn
+
+    rng = np.random.default_rng(7)
+    x = rng.standard_normal((20_000, 32)).astype(np.float32)
+    q = rng.standard_normal((20, 32)).astype(np.float32)
+    if metric == "ip":
+        x /= np.linalg.norm(x, axis=1, keepdims=True)
+        q /= np.linalg.norm(q, axis=1, keepdims=True)
+    ids = np.arange(20_000, dtype=np.int64)
+    idx = QuakeIndex()
+    idx.build(x, ids, IndexBuildParams(nlist=200, metric=metric))
+    gt, _ = knn(q, x, 10, metric)
+
+    for target in (0.5, 0.9):
+        res_p = idx.search(
+            q,
+            SearchParams(k=10, recall_target=target,
+                         initial_search_fraction=0.5, aps_mode="planned"),
+        )
+        achieved = compute_recall(res_p.ids, gt, 10)
+        assert achieved >= target - 0.05, f"target {target}, achieved {achieved}"
+        assert res_p.timing_info.partitions_scanned <= 100
+        # loop-mode comparison: planned never underscans the loop by design
+        res_l = idx.search(
+            q,
+            SearchParams(k=10, recall_target=target,
+                         initial_search_fraction=0.5, aps_mode="loop",
+                         recompute_threshold=0.0, aps_chunk_size=4),
+        )
+        achieved_l = compute_recall(res_l.ids, gt, 10)
+        assert achieved >= achieved_l - 0.1
+
+
 def test_effective_dimension():
     """Participation-ratio dimension: ~ambient for isotropic data, ~intrinsic
     for manifold data (drives the APS cap-volume model)."""

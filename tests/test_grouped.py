@@ -51,6 +51,37 @@ def test_build_groups_roundtrip():
                 taken.add(key)
 
 
+def test_build_groups_scatter_matches_build_groups():
+    """build_groups_scatter's tgt is the flat pair index of each kernel row:
+    scattering row (g, t) to tgt[g, t] must land exactly where the inverse
+    permutation (pair_group, pair_slot) of build_groups points."""
+    from quake_tpu.ops.grouped import build_groups_scatter
+
+    rng = np.random.default_rng(3)
+    B, nprobe, nlist, qt = 32, 4, 16, 8
+    pids = rng.integers(0, nlist, (B, nprobe)).astype(np.int32)
+    pids[0, 2:] = -1
+    pids[5, :] = -1
+    gp1, ql1, pair_group, pair_slot = build_groups(jnp.asarray(pids), nlist, qt)
+    gp2, ql2, tgt = build_groups_scatter(jnp.asarray(pids), nlist, qt)
+    np.testing.assert_array_equal(np.asarray(gp1), np.asarray(gp2))
+    np.testing.assert_array_equal(np.asarray(ql1), np.asarray(ql2))
+    tgt = np.asarray(tgt)
+    pair_group = np.asarray(pair_group)
+    pair_slot = np.asarray(pair_slot)
+    n = B * nprobe
+    for b in range(B):
+        for r in range(nprobe):
+            if pids[b, r] < 0:
+                continue
+            g, s = pair_group[b, r], pair_slot[b, r]
+            assert tgt[g, s] == b * nprobe + r
+    # every invalid kernel row targets the discard slot
+    valid_targets = tgt[tgt < n]
+    assert len(valid_targets) == len(set(valid_targets.tolist()))
+    assert (tgt[np.asarray(ql2) < 0] == n).all()
+
+
 @pytest.mark.parametrize("metric", ["l2", "ip"])
 @pytest.mark.parametrize("qt", [4, 64])
 def test_grouped_matches_query_major(metric, qt):

@@ -437,6 +437,49 @@ def test_v7_dedup_spilled():
         assert len(valid) == len(set(valid.tolist()))
 
 
+def test_v10_dedup_spilled():
+    """v10 (scatter epilogue) with dedup: pool-side refs are rebuilt from
+    (pids, packed slot) instead of pair-gathered — no duplicate ids may
+    surface from a spilled layout, and results must match the oracle over
+    the probed partitions' distinct vectors."""
+    from quake_tpu.ops.pallas_grouped import grouped_scan_pallas_v10
+
+    rng = np.random.default_rng(9)
+    P, C, D, B, k, qt = 6, 128, 16, 8, 5, 8
+    nvec = P * C // 4
+    vecs = rng.standard_normal((nvec, D)).astype(np.float32)
+    a1 = rng.integers(0, P, nvec)
+    a2 = (a1 + 1 + rng.integers(0, P - 1, nvec)) % P
+    codes = np.zeros((P, C, D), np.float32)
+    ids = np.full((P, C), -1, np.int32)
+    sizes = np.zeros(P, np.int32)
+    for v in range(nvec):
+        for p in (a1[v], a2[v]):
+            codes[p, sizes[p]] = vecs[v]
+            ids[p, sizes[p]] = v
+            sizes[p] += 1
+    norms = (codes ** 2).sum(axis=2)
+    q = rng.standard_normal((B, D)).astype(np.float32)
+    pids = np.stack([rng.permutation(P)[:4] for _ in range(B)]).astype(np.int32)
+
+    _, i2, _ = grouped_scan_pallas_v10(
+        jnp.asarray(codes), jnp.asarray(ids), jnp.asarray(sizes),
+        jnp.asarray(norms), jnp.asarray(q), jnp.asarray(pids), k, "l2",
+        qt=qt, gpb=2, dedup=True, interpret=True)
+    i2 = np.asarray(i2)
+    for b in range(B):
+        valid = i2[b][i2[b] >= 0]
+        assert len(valid) == len(set(valid.tolist()))
+        cand = set()
+        for p in pids[b]:
+            cand.update(ids[p, :sizes[p]].tolist())
+        cand.discard(-1)
+        cand = np.array(sorted(cand))
+        d2 = ((vecs[cand] - q[b]) ** 2).sum(1)
+        want = set(cand[np.argsort(d2)[:k]].tolist())
+        assert len(want & set(valid.tolist())) >= k - 1, (b, valid, want)
+
+
 @pytest.mark.parametrize("metric", ["l2", "ip"])
 def test_parent_rank_pallas_matches_exact(metric):
     """Pallas parent ranking: candidate sets match exact top-nprobe ranking
@@ -476,7 +519,7 @@ def test_parent_rank_pallas_matches_exact(metric):
     assert total >= B * nprobe * 0.99
 
 
-@pytest.mark.parametrize("variant_name", ["v8", "v9"])
+@pytest.mark.parametrize("variant_name", ["v8", "v9", "v10"])
 @pytest.mark.parametrize("C", [128, 256])
 @pytest.mark.parametrize("metric", ["l2", "ip"])
 def test_v8_kernel_interpret_matches_xla(metric, C, variant_name):
@@ -489,10 +532,12 @@ def test_v8_kernel_interpret_matches_xla(metric, C, variant_name):
     from quake_tpu.ops.pallas_grouped import (
         grouped_scan_pallas_v8,
         grouped_scan_pallas_v9,
+        grouped_scan_pallas_v10,
     )
 
     variant = {"v8": grouped_scan_pallas_v8,
-               "v9": grouped_scan_pallas_v9}[variant_name]
+               "v9": grouped_scan_pallas_v9,
+               "v10": grouped_scan_pallas_v10}[variant_name]
 
     rng = np.random.default_rng(11)
     P, D, B, nprobe, k, qt = 8, 16, 12, 3, 5, 8
@@ -559,7 +604,7 @@ def test_v9_sampled_bounds_interpret():
         assert len(set(i1[b].tolist()) & set(i2[b].tolist())) >= k - 1, b
 
 
-@pytest.mark.parametrize("variant_name", ["v8", "v9"])
+@pytest.mark.parametrize("variant_name", ["v8", "v9", "v10"])
 def test_v8_unit_norm_ip_no_key_clipping(variant_name):
     """Regression (round-3 DEEP config, recall 0.003): the global-scale
     kernels hardcoded the l2 score form (2*prod), pushing every IP score
@@ -570,10 +615,12 @@ def test_v8_unit_norm_ip_no_key_clipping(variant_name):
     from quake_tpu.ops.pallas_grouped import (
         grouped_scan_pallas_v8,
         grouped_scan_pallas_v9,
+        grouped_scan_pallas_v10,
     )
 
     variant = {"v8": grouped_scan_pallas_v8,
-               "v9": grouped_scan_pallas_v9}[variant_name]
+               "v9": grouped_scan_pallas_v9,
+               "v10": grouped_scan_pallas_v10}[variant_name]
     rng = np.random.default_rng(21)
     P, C, D, B, nprobe, k, qt = 8, 256, 16, 16, 4, 5, 8
     codes = rng.standard_normal((P, C, D)).astype(np.float32)

@@ -87,6 +87,27 @@ def test_sharded_aps_matches_single_device(small_data):
     assert res_sharded.timing_info.partitions_scanned == scanned_single
 
 
+def test_sharded_aps_planned_matches_single_device(small_data):
+    """Planned (two-phase) APS on a mesh == single-device planned APS: both
+    scans merge to replicated-identical state before the plan is computed,
+    so every device derives the same tail mask and results match exactly."""
+    x, ids, q = small_data
+    idx = QuakeIndex()
+    idx.build(x, ids, IndexBuildParams(nlist=32))
+    sp = SearchParams(k=10, recall_target=0.9, initial_search_fraction=0.5,
+                      aps_mode="planned")
+    res_single = idx.search(q, sp)
+    scanned_single = res_single.timing_info.partitions_scanned
+
+    idx.shard(len(jax.devices()))
+    res_sharded = idx.search(q, sp)
+    np.testing.assert_array_equal(res_single.ids, res_sharded.ids)
+    np.testing.assert_allclose(
+        res_single.distances, res_sharded.distances, rtol=1e-5, atol=1e-5
+    )
+    assert res_sharded.timing_info.partitions_scanned == scanned_single
+
+
 def test_sharded_aps_partition_strategy(small_data):
     """APS with partition-axis (block ownership) sharding returns correct
     top-k and meets the recall target."""
