@@ -61,8 +61,19 @@ def main():
     variants = [
         ("fixed_np16", SearchParams(k=K, nprobe=16)),
         ("aps_loop", SearchParams(k=K, recall_target=0.9, aps_mode="loop")),
-        ("aps_planned", SearchParams(k=K, recall_target=0.9,
-                                     aps_mode="planned")),
+        ("aps_planned_m0", SearchParams(k=K, recall_target=0.9,
+                                        aps_mode="planned",
+                                        aps_plan_margin=0)),
+        ("aps_planned_m4", SearchParams(k=K, recall_target=0.9,
+                                        aps_mode="planned",
+                                        aps_plan_margin=4)),
+        ("aps_planned_m8", SearchParams(k=K, recall_target=0.9,
+                                        aps_mode="planned",
+                                        aps_plan_margin=8)),
+        ("aps_planned_c8_m4", SearchParams(k=K, recall_target=0.9,
+                                           aps_mode="planned",
+                                           aps_chunk_size=8,
+                                           aps_plan_margin=4)),
     ]
     for pass_no in (1, 2):
         for name, sp in variants:

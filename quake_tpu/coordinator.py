@@ -233,7 +233,7 @@ def aps_search(
     jax.jit,
     static_argnames=(
         "k", "metric", "dimension", "chunk0", "use_precomputed", "qt",
-        "kernel",
+        "kernel", "plan_margin",
     ),
 )
 def aps_search_planned(
@@ -254,6 +254,7 @@ def aps_search_planned(
     sizes=None,
     norms=None,
     gamma=None,
+    plan_margin: int = 0,
 ):
     """Two-phase ("planned") APS: prologue scan -> per-query probe plan ->
     ONE masked tail scan. Replaces the while_loop for production batches.
@@ -289,13 +290,14 @@ def aps_search_planned(
 
     return aps_plan(
         q, pids, boundary, valid, table, recall_target, k, metric, dimension,
-        chunk0, use_precomputed, scan, gamma=gamma,
+        chunk0, use_precomputed, scan, gamma=gamma, plan_margin=plan_margin,
     )
 
 
 def aps_plan(q, pids, boundary, valid, table, recall_target, k: int,
              metric: str, dimension: int, chunk0: int, use_precomputed: bool,
-             scan_chunk, gamma=None, plan_round: int = 4):
+             scan_chunk, gamma=None, plan_round: int = 4,
+             plan_margin: int = 0):
     """Planned-APS core, shared by the single-device and shard_map paths
     (see aps_search_planned). `scan_chunk(eff)` scans a [B, m] pid matrix
     (-1 = skip) and returns merged per-query (scores [B,k], ids [B,k]) — on
@@ -306,7 +308,14 @@ def aps_plan(q, pids, boundary, valid, table, recall_target, k: int,
     path stops only at chunk multiples, and the build-time calibration
     inherits that overshoot as an adherence cushion — a cushionless exact
     plan measured 0.869 achieved at target 0.9 (experiments/aps_planned_ab,
-    loop same run: 0.906)."""
+    loop same run: 0.906).
+
+    plan_margin: extra ranks added to the tail of every query whose plan
+    extends past the prologue. The model is most optimistic exactly on
+    those marginal queries (their k-th radius is still shrinking), and the
+    loop hands them a FULL extra chunk where the plan hands them the
+    model-minimal count — the margin recovers that cushion at a fraction
+    of the cost."""
     B, M = pids.shape
     c0 = min(chunk0, M)
 
@@ -332,6 +341,8 @@ def aps_plan(q, pids, boundary, valid, table, recall_target, k: int,
     first = jnp.argmax(hit, axis=1)  # first j with cs[j] >= target
     n_b = jnp.where(jnp.any(hit, axis=1), first + 2, M)
     tail = jnp.clip(n_b - c0, 0, None)
+    if plan_margin:
+        tail = jnp.where(tail > 0, tail + plan_margin, 0)
     tail = -(-tail // plan_round) * plan_round  # ceil to plan_round
     n_b = jnp.clip(c0 + tail, c0, M)
 
@@ -351,7 +362,7 @@ def aps_plan(q, pids, boundary, valid, table, recall_target, k: int,
 
 def grouped_scan(codes, ids, sizes, norms, q, pids, k: int, metric: str,
                  qt: int, group_chunk: int, kernel: str,
-                 dedup: bool = False):
+                 dedup: bool = False, exact: bool = True):
     """Dispatch to a grouped-scan backend by name.
 
     kernel: "xla" (chunked lax.map — any platform), "v2" (whole-slab Pallas,
@@ -435,6 +446,10 @@ def grouped_scan(codes, ids, sizes, norms, q, pids, k: int, metric: str,
             return grouped_scan_pallas_v3pn(codes, ids, sizes, norms, q, pids,
                                             k, metric, qt=qt, gpb=gpb,
                                             dedup=dedup)
+        if name == "v10":
+            return fn(codes, ids, sizes, norms, q, pids,
+                      k, metric, qt=qt, gpb=gpb, fold=fold, dedup=dedup,
+                      exact=exact)
         return fn(codes, ids, sizes, norms, q, pids,
                   k, metric, qt=qt, gpb=gpb, fold=fold, dedup=dedup)
     if kernel.startswith("v3p") and len(kernel) > 3:  # v3p2 / v3p4 / ...
@@ -494,13 +509,13 @@ def rank_parents(parent_codes, parent_ids, parent_norms, q, nprobe: int,
     jax.jit,
     static_argnames=(
         "k", "nprobe", "metric", "qt", "group_chunk", "kernel", "dedup",
-        "parent_kernel"),
+        "parent_kernel", "exact"),
 )
 def fused_ivf_search(
     codes, ids, sizes, norms, parent_codes, parent_ids, q,
     k: int, nprobe: int, metric: str, qt: int, group_chunk: int,
     kernel: str = "xla", dedup: bool = False,
-    parent_norms=None, parent_kernel: str = "approx",
+    parent_norms=None, parent_kernel: str = "approx", exact: bool = True,
 ):
     """End-to-end fixed-nprobe search as ONE device program: parent centroid
     scan -> partition-major grouped scan -> top-k merge -> distance
@@ -516,7 +531,7 @@ def fused_ivf_search(
                         metric, parent_kernel)
     scores, ids32, scanned = grouped_scan(
         codes, ids, sizes, norms, q, pids, k, metric, qt, group_chunk, kernel,
-        dedup=dedup,
+        dedup=dedup, exact=exact,
     )
     dists = scores_to_distances(scores, ids32, metric)
     return scores, ids32, dists, scanned, pids

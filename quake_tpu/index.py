@@ -431,6 +431,7 @@ class QuakeIndex:
                     k=k, nprobe=parent_k, metric=self.metric,
                     qt=qt, group_chunk=group_chunk,
                     kernel=self._grouped_kernel(), dedup=self.spill,
+                    exact=bool(sp.exact_distances),
                 )
             timing.partitions_scanned = parent_k
             timing.parent_info = SearchTimingInfo(
@@ -494,17 +495,19 @@ class QuakeIndex:
         return qt, group_chunk
 
     def _planned_chunk0(self, B: int, parent_k: int) -> int:
-        """Phase-1 (prologue) rank count for planned APS — sized to the
-        while-loop's FIRST chunk (see the aps_chunk_size auto logic above),
-        so the phase-1 radius matches the information the loop has after
-        its first step. A small prologue (4 ranks) measured both slower
-        (an extra full machinery pass for little radius) and adherence-
-        negative (0.869 achieved at target 0.9, experiments/aps_planned_ab);
-        the half-candidate prologue restores the loop's first-step radius
-        and the plan_round tail rounding restores its chunk-granularity
-        cushion."""
-        if B >= 1024:
-            return max(8, -(-parent_k // 2))
+        """Phase-1 (prologue) rank count for planned APS. Measured sweep at
+        B=4096 (experiments/aps_planned_ab, same-run pass 2, target 0.9):
+
+          chunk0=M/2, margin 0: 18.6 ms @ 0.8837  (under-adheres: the exact
+            plan drops the loop's chunk-granularity cushion)
+          chunk0=M/2, margin 4: 18.6 ms @ 0.9019
+          chunk0=8,   margin 4: 17.0 ms @ 0.9066  (loop: 19.9 @ 0.906)
+
+        The SMALL prologue wins twice: phase 1 costs half, and its looser
+        radius (k-th distance from 8 ranks instead of M/2) makes the plan
+        conservative exactly where the cap model is optimistic — recall
+        lands above the loop's. Default margin lives in
+        SearchParams.aps_plan_margin."""
         return min(8, max(parent_k, 1))
 
     def _search_device(self, q, sp: SearchParams, approx_flat: bool = False):
@@ -635,11 +638,15 @@ class QuakeIndex:
                         jnp.float32(sp.recall_target),
                         k=k_eff, metric=self.metric,
                         dimension=self.aps_dimension or self.d(),
-                        chunk0=self._planned_chunk0(int(q.shape[0]), parent_k),
+                        chunk0=(int(sp.aps_chunk_size)
+                                if sp.aps_chunk_size > 0 else
+                                self._planned_chunk0(int(q.shape[0]),
+                                                     parent_k)),
                         use_precomputed=bool(sp.use_precomputed),
                         table=table, qt=qt, group_chunk=group_chunk,
                         gamma=(jnp.float32(self.aps_gamma)
                                if self.aps_gamma != 1.0 else None),
+                        plan_margin=int(sp.aps_plan_margin),
                     )
                 else:
                     scores, ids32, scanned = sharded_aps_search(
@@ -670,7 +677,10 @@ class QuakeIndex:
                         k=k_eff,
                         metric=self.metric,
                         dimension=self.aps_dimension or self.d(),
-                        chunk0=self._planned_chunk0(int(q.shape[0]), parent_k),
+                        chunk0=(int(sp.aps_chunk_size)
+                                if sp.aps_chunk_size > 0 else
+                                self._planned_chunk0(int(q.shape[0]),
+                                                     parent_k)),
                         use_precomputed=bool(sp.use_precomputed),
                         table=table,
                         qt=qt,
@@ -679,6 +689,7 @@ class QuakeIndex:
                         norms=state.norms,
                         gamma=(jnp.float32(self.aps_gamma)
                                if self.aps_gamma != 1.0 else None),
+                        plan_margin=int(sp.aps_plan_margin),
                     )
                 else:
                     scores, ids32, scanned = coordinator.aps_search(

@@ -1311,7 +1311,8 @@ def grouped_scan_pallas_v9(codes, ids, sizes, norms, q, pids, k: int,
 def _scatter_epilogue(g_packed, tgt, pids, codes, ids, norms, q, k: int,
                       kk: int, metric: str, slot_mult: int, levels: int,
                       dedup: bool, pool_factor: int = 1, merge: str = "pallas",
-                      interpret: bool = False):
+                      interpret: bool = False, exact: bool = True,
+                      gmin=None, ginv=None):
     """v10 epilogue: ONE row scatter replaces the whole pair-major pathway.
 
     The v8/v9 epilogue derives (keys, refs) over the full [Gn, qt, kk]
@@ -1395,20 +1396,50 @@ def _scatter_epilogue(g_packed, tgt, pids, codes, ids, norms, q, k: int,
     wpid = jnp.take_along_axis(pids, posc // kk, axis=1)
     valid = (pos >= 0) & (pk >= 0.0) & (wpid >= 0)
     top_refs = jnp.where(valid, (jnp.maximum(wpid, 0) << 16) | slot, -1)
-    return _exact_rescore(top_refs, codes, ids, norms, q, k, kfin, metric,
-                          pids)
+    if exact:
+        return _exact_rescore(top_refs, codes, ids, norms, q, k, kfin, metric,
+                              pids)
+    # Dequantized-score mode: with pool_factor=1 the rescore cannot change
+    # MEMBERSHIP (top-k of a k-sized pool) — it only reorders and restores
+    # exact distances. The [B, kfin, D] winner-vector gather is the single
+    # most expensive epilogue op (1.82 ms of a 7.81 ms fused step at bench
+    # shape, kernel_ab26), so this mode reconstructs scores from the
+    # kernel's quantized key instead:
+    #   key = floor((score_nq - gmin) * ginv)  with  score_nq = 2<q,x>-|x|^2
+    #   (l2; the per-query |q|^2 is constant within a row and re-added
+    #   here) or <q,x> (ip)  =>  score ~= (key + 0.5)/ginv + gmin [- |q|^2]
+    # Resolution is grange/levels; ids ordering can swap only where the
+    # true gap is below one quantization step. Ids remain exact.
+    key = jnp.floor(pk / float(slot_mult))
+    score = (key + 0.5) / ginv + gmin
+    if metric == "l2":
+        score = score - jnp.sum(
+            q.astype(jnp.float32) ** 2, axis=1, keepdims=True)
+    w_safe = jnp.maximum(top_refs >> 16, 0)
+    top_ids = _flat_row_take(ids, w_safe, slot)
+    top_ids = jnp.where(valid & (top_refs >= 0), top_ids, -1)
+    score = jnp.where(top_ids >= 0, score, NEG_INF)
+    scores = score[:, :k]
+    out_ids = top_ids[:, :k]
+    if scores.shape[1] < k:
+        padn = k - scores.shape[1]
+        scores = jnp.pad(scores, ((0, 0), (0, padn)), constant_values=NEG_INF)
+        out_ids = jnp.pad(out_ids, ((0, 0), (0, padn)), constant_values=-1)
+    scanned = jnp.sum((pids >= 0).astype(jnp.int32), axis=1)
+    return scores, out_ids, scanned
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("k", "metric", "qt", "gpb", "fold", "dedup",
-                     "pool_factor", "bounds", "merge", "interpret"),
+                     "pool_factor", "bounds", "merge", "interpret", "exact"),
 )
 def grouped_scan_pallas_v10(codes, ids, sizes, norms, q, pids, k: int,
                             metric: str, qt: int = 64, gpb: int = 4,
                             fold: int = 128, dedup: bool = False,
                             pool_factor: int = 1, bounds: str = "analytic",
-                            merge: str = "pallas", interpret: bool = False):
+                            merge: str = "pallas", interpret: bool = False,
+                            exact: bool = True):
     """v10: the v9 kernel (global-scale quantize + joint rounds) with the
     scatter epilogue (see _scatter_epilogue) over build_groups_scatter.
     Same inputs/returns/semantics as grouped_scan_pallas_v9 — membership
@@ -1485,7 +1516,8 @@ def grouped_scan_pallas_v10(codes, ids, sizes, norms, q, pids, k: int,
     return _scatter_epilogue(g_packed, tgt, pids, codes, ids, norms, q, k,
                              kk, metric, slot_mult, levels, dedup,
                              pool_factor=pool_factor, merge=merge,
-                             interpret=interpret)
+                             interpret=interpret, exact=exact,
+                             gmin=gmin, ginv=ginv)
 
 
 def _v4_kernel(metric: str, k: int, slot_mult: int, levels: int, gpb: int,

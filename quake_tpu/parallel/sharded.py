@@ -210,7 +210,8 @@ def sharded_aps_search_planned(mesh, codes, ids, centroids, q, pids,
                                dimension: int, chunk0: int = 4,
                                use_precomputed: bool = True, table=None,
                                qt: int = 32, group_chunk: int = 64,
-                               strategy: str | None = None, gamma=None):
+                               strategy: str | None = None, gamma=None,
+                               plan_margin: int = 0):
     """Planned (two-phase) APS over the mesh: prologue scan -> replicated
     per-query probe plan -> one masked tail scan (see
     coordinator.aps_search_planned). Both scans are local + all_gather
@@ -259,6 +260,7 @@ def sharded_aps_search_planned(mesh, codes, ids, centroids, q, pids,
         return aps_plan(
             q_l, pids_l, boundary, valid, table_l, recall_target, k, metric,
             dimension, chunk0, use_precomputed, scan_chunk, gamma=gamma,
+            plan_margin=plan_margin,
         )
 
     if strategy == "slot":

@@ -172,6 +172,8 @@ class SearchParams:
     # (fine-grained early exit), 8 at production batch (>= 1024 queries) —
     # each step re-pays the probed-partition group cost, so coarser chunks
     # win once the batch is large enough that most partitions are probed.
+    # In planned mode this sets the PROLOGUE size (chunk0) instead; auto
+    # sizes it to the loop's first chunk (index._planned_chunk0).
     aps_chunk_size: int = 0
     # APS execution strategy: "auto" picks "planned" (prologue scan ->
     # one-shot per-query probe plan -> single masked tail scan; two fused
@@ -180,6 +182,23 @@ class SearchParams:
     # semantics, query_coordinator.cpp:383-430) otherwise. Explicit values
     # pin the strategy.
     aps_mode: str = "auto"
+    # Planned mode only: extra ranks granted to every query whose plan
+    # extends past the prologue scan. The recall model is most optimistic
+    # on exactly those marginal queries (their k-th radius is still
+    # shrinking), and the while-loop hands them a FULL extra chunk (its
+    # implicit adherence cushion) where the exact plan hands them the
+    # model-minimal count. 0 = exact plan.
+    aps_plan_margin: int = 4
+    # False = serving mode: skip the exact winner-vector rescore in the v10
+    # epilogue and return scores dequantized from the kernel's packed key
+    # ((key+0.5)/ginv + gmin - |q|^2). With the default rescore pool
+    # (pool_factor=1) the rescore cannot change MEMBERSHIP — only ordering
+    # within one quantization step (~range/8k) and the reported distance
+    # values lose that much precision. The winner-vector gather it removes
+    # is the single largest epilogue op (1.82 ms of a 7.81 ms fused step at
+    # bench shape, kernel_ab26/27). Exact by default (reference semantics:
+    # list_scanning.h rescores with true distances).
+    exact_distances: bool = True
 
     def copy(self) -> "SearchParams":
         return dataclasses.replace(self)

@@ -645,3 +645,45 @@ def test_v8_unit_norm_ip_no_key_clipping(variant_name):
     for b in range(B):
         ov = len(set(i1[b].tolist()) & set(i2[b].tolist()))
         assert ov >= k - 1, (b, i1[b], i2[b])
+
+
+@pytest.mark.parametrize("metric", ["l2", "ip"])
+def test_v10_dequantized_scores(metric):
+    """v10 exact=False: ids match the exact-rescore path (pool_factor=1
+    means membership is fixed before rescore), and dequantized scores are
+    within one quantization step of the exact scores."""
+    from quake_tpu.ops.pallas_grouped import grouped_scan_pallas_v10
+
+    rng = np.random.default_rng(31)
+    P, C, D, B, nprobe, k, qt = 8, 256, 16, 16, 4, 5, 8
+    codes = rng.standard_normal((P, C, D)).astype(np.float32)
+    ids = np.arange(P * C, dtype=np.int32).reshape(P, C)
+    sizes = np.full(P, C, np.int32)
+    norms = (codes ** 2).sum(axis=2)
+    q = rng.standard_normal((B, D)).astype(np.float32)
+    pids = np.stack([rng.permutation(P)[:nprobe] for _ in range(B)]).astype(np.int32)
+    args = (jnp.asarray(codes), jnp.asarray(ids), jnp.asarray(sizes),
+            jnp.asarray(norms), jnp.asarray(q), jnp.asarray(pids))
+
+    s1, i1, _ = grouped_scan_pallas_v10(*args, k, metric, qt=qt, gpb=2,
+                                        interpret=True, exact=True)
+    s2, i2, _ = grouped_scan_pallas_v10(*args, k, metric, qt=qt, gpb=2,
+                                        interpret=True, exact=False)
+    i1, i2 = np.asarray(i1), np.asarray(i2)
+    s1, s2 = np.asarray(s1), np.asarray(s2)
+    # Same membership (ordering may swap within a quantization step).
+    for b in range(B):
+        assert set(i1[b].tolist()) == set(i2[b].tolist()), b
+    # Dequantized scores within ~1 step of exact (match rows by id).
+    levels = (1 << 24) // 256 - 2
+    # analytic grange for this data
+    maxq2 = (q ** 2).sum(1).max()
+    maxx2 = norms.max()
+    maxqx = np.sqrt(maxq2) * np.sqrt(maxx2)
+    grange = (maxq2 + maxx2 + 2 * maxqx) if metric == "l2" else 2 * maxqx
+    step = grange / levels
+    for b in range(B):
+        m = {int(t): s2[b, j] for j, t in enumerate(i2[b]) if t >= 0}
+        for j, t in enumerate(i1[b]):
+            if t >= 0:
+                assert abs(m[int(t)] - s1[b, j]) <= 1.5 * step, (b, j)
