@@ -415,7 +415,8 @@ def grouped_scan_pallas_v3p(codes, ids, sizes, norms, q, pids, k: int,
 
 
 def _rescore_topk(m_scores, m_refs, codes, ids, norms, q, k: int, kk: int,
-                  metric: str, pids, dedup: bool = False):
+                  metric: str, pids, dedup: bool = False, exact: bool = True,
+                  gmin=None, ginv=None):
     """Merge tail shared by the packed kernels: top-k by dequantized score,
     exact rescore of the winners (restores exact distances/order), reference
     -1/-inf padding (query_coordinator.cpp:447-456).
@@ -453,12 +454,40 @@ def _rescore_topk(m_scores, m_refs, codes, ids, norms, q, k: int, kk: int,
         refs_kept = jnp.max(
             jnp.where(match, top_refs[:, None, :], -1), axis=2
         )
+        if not exact:
+            s_pool = jnp.take_along_axis(m_scores, idx, axis=1)
+            keys_kept = jnp.max(
+                jnp.where(match, s_pool[:, None, :], NEG_INF), axis=2
+            )
         top_refs = refs_kept
     else:
         kfin = min(k, pool)
+        if not exact:
+            keys_kept = jnp.take_along_axis(m_scores, idx, axis=1)[:, :kfin]
 
-    return _exact_rescore(top_refs, codes, ids, norms, q, k, kfin, metric,
-                          pids)
+    if exact:
+        return _exact_rescore(top_refs, codes, ids, norms, q, k, kfin, metric,
+                              pids)
+    # Dequantized tail (see _scatter_epilogue exact=False): membership is
+    # already fixed (kfin = k survivors); reconstruct scores from the
+    # quantized key and gather only the id winners — the dedup path's
+    # [B, kfin, D] vector gather disappears (the SOAR serving cost).
+    score = (keys_kept + 0.5) / ginv + gmin
+    if metric == "l2":
+        score = score - jnp.sum(
+            q.astype(jnp.float32) ** 2, axis=1, keepdims=True)
+    w_safe = jnp.maximum(top_refs >> 16, 0)
+    top_ids = _flat_row_take(ids, w_safe, top_refs & 0xFFFF)
+    top_ids = jnp.where(top_refs >= 0, top_ids, -1)
+    score = jnp.where(top_ids >= 0, score, NEG_INF)
+    scores = score[:, :k]
+    out_ids = top_ids[:, :k]
+    if scores.shape[1] < k:
+        padn = k - scores.shape[1]
+        scores = jnp.pad(scores, ((0, 0), (0, padn)), constant_values=NEG_INF)
+        out_ids = jnp.pad(out_ids, ((0, 0), (0, padn)), constant_values=-1)
+    scanned = jnp.sum((pids >= 0).astype(jnp.int32), axis=1)
+    return scores, out_ids, scanned
 
 
 def _exact_rescore(top_refs, codes, ids, norms, q, k: int, kfin: int,
@@ -1355,7 +1384,8 @@ def _scatter_epilogue(g_packed, tgt, pids, codes, ids, norms, q, k: int,
         m_refs = jnp.where(ok, (jnp.maximum(pid_b, 0) << 16) | slot, -1)
         m_scores = jnp.where(ok, m_keys, NEG_INF)
         return _rescore_topk(m_scores, m_refs, codes, ids, norms, q, k, kk,
-                             metric, pids, dedup=dedup)
+                             metric, pids, dedup=dedup, exact=exact,
+                             gmin=gmin, ginv=ginv)
 
     kfin = min(pool_factor * k, pool)
     mk = jnp.pad(m_keys, ((0, 0), (0, poolp - pool)), constant_values=-1.0)

@@ -687,3 +687,43 @@ def test_v10_dequantized_scores(metric):
         for j, t in enumerate(i1[b]):
             if t >= 0:
                 assert abs(m[int(t)] - s1[b, j]) <= 1.5 * step, (b, j)
+
+
+def test_v10_dedup_dequantized():
+    """v10 dedup + exact=False (SOAR serving mode): no duplicate ids, same
+    membership as the exact dedup path, dequantized scores."""
+    from quake_tpu.ops.pallas_grouped import grouped_scan_pallas_v10
+
+    rng = np.random.default_rng(17)
+    P, C, D, B, k, qt = 6, 128, 16, 8, 5, 8
+    nvec = P * C // 4
+    vecs = rng.standard_normal((nvec, D)).astype(np.float32)
+    a1 = rng.integers(0, P, nvec)
+    a2 = (a1 + 1 + rng.integers(0, P - 1, nvec)) % P
+    codes = np.zeros((P, C, D), np.float32)
+    ids = np.full((P, C), -1, np.int32)
+    sizes = np.zeros(P, np.int32)
+    for v in range(nvec):
+        for p in (a1[v], a2[v]):
+            codes[p, sizes[p]] = vecs[v]
+            ids[p, sizes[p]] = v
+            sizes[p] += 1
+    norms = (codes ** 2).sum(axis=2)
+    q = rng.standard_normal((B, D)).astype(np.float32)
+    pids = np.stack([rng.permutation(P)[:4] for _ in range(B)]).astype(np.int32)
+    args = (jnp.asarray(codes), jnp.asarray(ids), jnp.asarray(sizes),
+            jnp.asarray(norms), jnp.asarray(q), jnp.asarray(pids))
+
+    _, i1, _ = grouped_scan_pallas_v10(*args, k, "l2", qt=qt, gpb=2,
+                                       dedup=True, interpret=True, exact=True)
+    s2, i2, _ = grouped_scan_pallas_v10(*args, k, "l2", qt=qt, gpb=2,
+                                        dedup=True, interpret=True,
+                                        exact=False)
+    i1, i2 = np.asarray(i1), np.asarray(i2)
+    s2 = np.asarray(s2)
+    for b in range(B):
+        valid = i2[b][i2[b] >= 0]
+        assert len(valid) == len(set(valid.tolist()))
+        assert set(i1[b].tolist()) == set(i2[b].tolist()), b
+        vs = s2[b][i2[b] >= 0]
+        assert (np.diff(vs) <= 1e-6).all()  # descending scores
