@@ -1,5 +1,5 @@
 """Flagship benchmark: batched IVF search QPS at >=0.9 recall@10 on a
-SIFT1M-scale corpus (1M x 128, nlist=1024), run on the attached TPU.
+SIFT1M-scale corpus (1M x 128, nlist=512), run on the attached TPU.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 vs_baseline is relative to the north-star target of 1M QPS @ 0.9 recall@10
@@ -38,8 +38,16 @@ def main():
     from quake_tpu.coordinator import flat_search
     from quake_tpu.utils import compute_recall
 
-    N, D, NLIST, K = 1_000_000, 128, 1024, 10
-    BATCH = int(os.environ.get("QUAKE_BENCH_BATCH", 4096))
+    N, D, K = 1_000_000, 128, 10
+    # nlist=512 since round 3 (experiments/nlist_sweep3): the grouping /
+    # scatter / merge / parent bands and the kernel's selection rounds all
+    # scale with n = B*nprobe or with group count — halving nlist at the
+    # same scan fraction halves them while slab DMA stays flat. Measured
+    # same-run: nlist=512/np14 738k QPS @ 0.916 vs nlist=1024/np18 476k
+    # @ 0.918 (B=4096). B=8192 amortizes the remaining fixed bands
+    # (+6.5%: 786k vs 738k same run).
+    NLIST = int(os.environ.get("QUAKE_BENCH_NLIST", 512))
+    BATCH = int(os.environ.get("QUAKE_BENCH_BATCH", 8192))
     NQ_GT, N_BATCHES = 1024, max(16384 // BATCH, 2)
 
     x = make_manifold(N, D, 4096, seed=1)
@@ -84,7 +92,9 @@ def main():
     # Find the smallest nprobe achieving >= 0.9 recall@10.
     chosen = None
     r = 0.0
-    for nprobe in (16, 18, 20, 24, 32, 64, 128):
+    grid = ((12, 13, 14, 16, 20, 32, 64, 128) if NLIST <= 512
+            else (16, 18, 20, 24, 32, 64, 128))
+    for nprobe in grid:
         res = idx.search(q_gt, SearchParams(k=K, nprobe=nprobe,
                                             exact_distances=exact))
         r = compute_recall(res.ids, gt_ids, K)

@@ -360,6 +360,111 @@ def aps_plan(q, pids, boundary, valid, table, recall_target, k: int,
     return scores, sids, scanned
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "k", "metric", "dimension", "use_precomputed", "qt", "kernel",
+        "plan_margin",
+    ),
+)
+def aps_search_oneshot(
+    codes,
+    ids,
+    centroids,
+    q,
+    pids,
+    recall_target,
+    k: int,
+    metric: str,
+    dimension: int,
+    radius_a,
+    radius_b,
+    use_precomputed: bool = True,
+    table=None,
+    qt: int = 32,
+    kernel: str = "xla",
+    sizes=None,
+    norms=None,
+    gamma=None,
+    plan_margin: int = 4,
+):
+    """One-pass APS: predicted radius -> per-query probe plan -> ONE scan.
+
+    The planned path (aps_search_planned) still pays the grouped machinery
+    twice (prologue + tail). This TPU extension drops the prologue entirely:
+    the k-th-neighbor radius is PREDICTED from the query's nearest-centroid
+    distance via a build-time-calibrated affine model
+    (radius ~= radius_a + radius_b * d1, quake_tpu.index.calibrate_aps),
+    the recall profile and plan are computed from that radius, and the whole
+    candidate prefix [0, n_b) is scanned in a single masked grouped scan —
+    cost approaches the equal-recall fixed-nprobe scan plus the profile
+    math.
+
+    Adherence now rests on the predictor: the calibration fits the model on
+    sampled resident vectors against their exact k-th distances, shifts it
+    to an upper residual quantile, and validates achieved recall end-to-end
+    (bumping the shift until the target holds). An overpredicted radius
+    only overscans; the margin/rounding cushion matches the planned path.
+    The reference has no analog (its APS always iterates,
+    query_coordinator.cpp:383-430); this is the repo's own operating point.
+
+    Returns (scores [B,k], ids [B,k], partitions_scanned [B]).
+    """
+    boundary, valid, table = aps_setup(
+        q, centroids, pids, dimension, use_precomputed, table
+    )
+
+    def scan(eff):
+        s, si, _ = grouped_scan(
+            codes, ids, sizes, norms, q, eff, k, metric, qt, 64, kernel
+        )
+        return s, si
+
+    return aps_oneshot(
+        q, pids, boundary, valid, table, recall_target, k, metric, dimension,
+        use_precomputed, scan, centroids, radius_a, radius_b, gamma=gamma,
+        plan_margin=plan_margin,
+    )
+
+
+def aps_oneshot(q, pids, boundary, valid, table, recall_target, k: int,
+                metric: str, dimension: int, use_precomputed: bool,
+                scan_chunk, centroids, radius_a, radius_b, gamma=None,
+                plan_round: int = 4, plan_margin: int = 4):
+    """Oneshot-APS core, shared by the single-device and shard_map paths
+    (see aps_search_oneshot). `scan_chunk(eff)` scans a [B, M] pid matrix
+    (-1 = skip) and returns merged per-query (scores, ids) — on a mesh it
+    wraps the local scan plus the cross-device merge; the plan is computed
+    from replicated-identical inputs so every device masks identically."""
+    B, M = pids.shape
+    qf = q.astype(jnp.float32)
+    c0 = centroids[jnp.maximum(pids[:, 0], 0)].astype(jnp.float32)  # [B, D]
+    d1 = jnp.sqrt(jnp.maximum(jnp.sum((qf - c0) ** 2, axis=1), 0.0))
+    radius = jnp.maximum(radius_a + radius_b * d1, 0.0)
+
+    probs = geometry.recall_profile(
+        boundary, radius, dimension, "l2", use_precomputed, table, valid,
+        gamma=gamma,
+    )
+    # Same exclusive-cumsum plan convention as aps_plan: n_b = smallest n
+    # with sum_{i < n-1} probs_i >= target. Unlike the planned path the
+    # margin applies to EVERY query (there is no prologue whose result
+    # could already satisfy the plan).
+    cs = jnp.cumsum(probs, axis=1)
+    hit = cs >= recall_target
+    first = jnp.argmax(hit, axis=1)
+    n_b = jnp.where(jnp.any(hit, axis=1), first + 2, M)
+    n_b = n_b + plan_margin
+    n_b = -(-n_b // plan_round) * plan_round
+    n_b = jnp.clip(n_b, jnp.minimum(plan_round, M), M)
+
+    rank_idx = jnp.arange(M, dtype=jnp.int32)[None, :]
+    eff = jnp.where(rank_idx < n_b[:, None], pids, -1)
+    scores, sids = scan_chunk(eff)
+    scanned = jnp.sum((eff >= 0).astype(jnp.int32), axis=1)
+    return scores, sids, scanned
+
+
 def grouped_scan(codes, ids, sizes, norms, q, pids, k: int, metric: str,
                  qt: int, group_chunk: int, kernel: str,
                  dedup: bool = False, exact: bool = True):

@@ -79,6 +79,12 @@ class QuakeIndex:
         self.mesh = None  # device mesh when num_shards > 1
         self.aps_dimension = 0  # effective dim for the APS recall model
         self.aps_gamma = 1.0  # calibrated profile-sharpening exponent
+        # Oneshot-APS radius predictor: [kmax, 2] rows (a_k, b_k) so that
+        # predicted k-th-neighbor radius = a_k + b_k * (nearest-centroid
+        # distance); fit + validated by calibrate_aps. None = uncalibrated
+        # (oneshot mode falls back to planned).
+        self.aps_radius_ab = None
+        self.aps_oneshot_mcap = 0  # calibrated candidate-width cap (0 = off)
         self.spill = False  # SOAR spilled assignment (IndexBuildParams.spill)
         self.soar_lambda = 1.0
         self.latency_profile = None  # profiled (n, k) grid, else analytic
@@ -316,6 +322,125 @@ class QuakeIndex:
                 break
             self.aps_gamma = float(g_cand)
 
+        # Third stage: oneshot-APS radius predictor (TPU extension; see
+        # coordinator.aps_search_oneshot). Fit radius_k ~= alpha_k +
+        # beta_k * d1 (d1 = nearest-centroid distance) by least squares on
+        # a resident-vector sample against exact k-th distances, shift by
+        # an upper residual quantile (overprediction only overscans), then
+        # validate achieved recall end-to-end and scale the shift up until
+        # the target holds.
+        self._calibrate_radius_predictor(q, pids, self_ids, gt, target, k,
+                                         goal=goal)
+
+    def _calibrate_radius_predictor(self, q, pids, self_ids, gt,
+                                    target: float, k: int, goal: float,
+                                    kmax: int = 100, nq_fit: int = 256):
+        """Fit + validate the oneshot-APS radius model (see calibrate_aps)."""
+        from quake_tpu.geometry import beta_table
+        from quake_tpu.utils import compute_recall
+
+        state = self.store.state
+        kmax = int(min(kmax, max(self.ntotal() - 2, 1)))
+        fit_ids = self.store.get_ids()[:nq_fit]
+        qf_np, found = self.store.get_vectors(fit_ids)
+        qf = jnp.asarray(qf_np[found])
+        if qf.shape[0] < 16:
+            return
+        fit_self = np.asarray(fit_ids)[found].astype(np.int64)
+
+        # Exact (kmax+1)-th distances; drop the self match per row.
+        s_all, i_all = coordinator.flat_search(
+            state.codes, state.ids, qf, kmax + 1, self.metric
+        )
+        s_np = np.asarray(s_all, np.float32)
+        i_np = np.asarray(i_all, np.int64)
+        S = s_np.shape[0]
+        keep = np.ones_like(s_np, bool)
+        for r in range(S):
+            hits = np.nonzero(i_np[r] == fit_self[r])[0]
+            keep[r, hits[0] if len(hits) else 0] = False
+        s_kept = s_np[keep].reshape(S, kmax)
+        if self.metric == "l2":
+            radii = np.sqrt(np.maximum(-s_kept, 0.0))  # [S, kmax]
+        else:
+            q_sq = np.sum(np.asarray(qf, np.float32) ** 2, axis=1)[:, None]
+            radii = np.sqrt(np.maximum(q_sq + 1.0 - 2.0 * s_kept, 0.0))
+
+        # d1 = distance to the nearest centroid (parent top-1).
+        psp = SearchParams(k=1, batched_scan=True)
+        p_scores, _, _ = self.parent._search_device(qf, psp, approx_flat=True)
+        ps = np.asarray(p_scores, np.float32)[:, 0]
+        if self.metric == "l2":
+            d1 = np.sqrt(np.maximum(-ps, 0.0))
+        else:
+            q_sq = np.sum(np.asarray(qf, np.float32) ** 2, axis=1)
+            d1 = np.sqrt(np.maximum(q_sq + 1.0 - 2.0 * ps, 0.0))
+
+        X = np.stack([np.ones_like(d1), d1], axis=1)  # [S, 2]
+        coef, *_ = np.linalg.lstsq(X, radii, rcond=None)  # [2, kmax]
+        resid = radii - X @ coef  # [S, kmax]
+        shift = np.quantile(resid, 0.9, axis=0)  # [kmax]
+
+        # Validate on the stage-1 sample (same protocol: k+1, drop self)
+        # and scale the shift until achieved recall meets the goal.
+        table = beta_table(self.aps_dimension or self.d(), "l2")
+        kc = min(k, kmax)
+        ok_scale = None
+        for scale in (1.0, 1.25, 1.6, 2.0, 3.0):
+            ra = float(coef[0, kc - 1] + scale * shift[kc - 1])
+            rb = float(coef[1, kc - 1])
+            _, ids32, sc = coordinator.aps_search_oneshot(
+                state.codes, state.ids, state.centroids, q, pids,
+                jnp.float32(target), k=k + 1, metric=self.metric,
+                dimension=self.aps_dimension or self.d(),
+                radius_a=jnp.float32(ra), radius_b=jnp.float32(rb),
+                use_precomputed=True, table=table,
+                qt=32, kernel=self._grouped_kernel(),
+                sizes=state.sizes, norms=state.norms,
+                gamma=(jnp.float32(self.aps_gamma)
+                       if self.aps_gamma != 1.0 else None),
+            )
+            got = _drop_self(np.asarray(ids32).astype(np.int64), self_ids, k)
+            if compute_recall(got, gt, k) >= goal:
+                ok_scale = scale
+                break
+        if ok_scale is None:
+            return  # predictor can't meet the target; leave oneshot disabled
+        ab = np.stack([coef[0] + ok_scale * shift, coef[1]], axis=1)
+        self.aps_radius_ab = ab.astype(np.float32)  # [kmax, 2]
+        # Candidate-width cap: the oneshot scan's grouping/boundary
+        # machinery costs scale with the FULL candidate width M (e.g. 256
+        # at the default initial_search_fraction), but plans rarely extend
+        # past a few tens of ranks — measured 11.7 ms vs 7.5 ms fixed at
+        # B=4096 with M=256 (aps_oneshot_ab). Cap the width at 2x the
+        # validation sample's 98th-percentile plan (pow2-bucketed, floor
+        # 16) — a max-based cap never engaged (one hard resident query
+        # plans deep) — then re-validate ONCE with the cap applied; clipped
+        # queries still scan the whole capped prefix, and the cap is
+        # dropped if capped recall misses the goal.
+        sc_np = np.asarray(sc)
+        mcap = int(max(16, next_pow2(int(
+            2 * max(float(np.percentile(sc_np, 98)), 1.0)))))
+        self.aps_oneshot_mcap = 0
+        if mcap < pids.shape[1]:
+            ra = float(self.aps_radius_ab[kc - 1, 0])
+            rb = float(self.aps_radius_ab[kc - 1, 1])
+            _, ids32, _ = coordinator.aps_search_oneshot(
+                state.codes, state.ids, state.centroids, q,
+                pids[:, :mcap],
+                jnp.float32(target), k=k + 1, metric=self.metric,
+                dimension=self.aps_dimension or self.d(),
+                radius_a=jnp.float32(ra), radius_b=jnp.float32(rb),
+                use_precomputed=True, table=table,
+                qt=32, kernel=self._grouped_kernel(),
+                sizes=state.sizes, norms=state.norms,
+                gamma=(jnp.float32(self.aps_gamma)
+                       if self.aps_gamma != 1.0 else None),
+            )
+            got = _drop_self(np.asarray(ids32).astype(np.int64), self_ids, k)
+            if compute_recall(got, gt, k) >= goal:
+                self.aps_oneshot_mcap = mcap
+
     def shard(self, n_devices: int):
         """Shard the partition store over a device mesh (the analog of the
         reference's worker-pool initialization, query_coordinator.cpp:50-73,
@@ -494,6 +619,25 @@ class QuakeIndex:
         group_chunk = max(8, min(128, (1 << 27) // max(slab_bytes, 1)))
         return qt, group_chunk
 
+    def _oneshot_pids(self, pids):
+        """Clip the oneshot candidate matrix to the calibrated width cap
+        (see _calibrate_radius_predictor): the masked-scan grouping and the
+        boundary-distance gather cost scale with the full width, while
+        plans rarely pass a few tens of ranks. Clipped queries still scan
+        the entire capped prefix."""
+        mcap = int(getattr(self, "aps_oneshot_mcap", 0) or 0)
+        if mcap and pids.shape[1] > mcap:
+            return pids[:, :mcap]
+        return pids
+
+    def _radius_coef(self, k: int):
+        """(a, b) of the calibrated oneshot radius model for this k; k past
+        the calibrated kmax clamps to the last row (radius grows slowly in
+        k there, and the plan margin cushions the residual)."""
+        ab = self.aps_radius_ab
+        row = min(max(int(k), 1), ab.shape[0]) - 1
+        return float(ab[row, 0]), float(ab[row, 1])
+
     def _planned_chunk0(self, B: int, parent_k: int) -> int:
         """Phase-1 (prologue) rank count for planned APS. Measured sweep at
         B=4096 (experiments/aps_planned_ab, same-run pass 2, target 0.9):
@@ -625,13 +769,34 @@ class QuakeIndex:
                 # chunk (see coordinator.aps_search_planned).
                 mode = ("planned" if int(q.shape[0]) >= 1024
                         else "loop")
+            if mode == "oneshot" and self.aps_radius_ab is None:
+                # Radius predictor not calibrated (spilled store, tiny
+                # corpus, or calibrate_aps=False) — the planned path is the
+                # closest adherent strategy.
+                mode = "planned"
             if self.mesh is not None:
                 from quake_tpu.parallel.sharded import (
                     sharded_aps_search,
+                    sharded_aps_search_oneshot,
                     sharded_aps_search_planned,
                 )
 
-                if mode == "planned":
+                if mode == "oneshot":
+                    ra, rb = self._radius_coef(k_eff)
+                    scores, ids32, scanned = sharded_aps_search_oneshot(
+                        self.mesh, state.codes, state.ids, state.centroids,
+                        q, self._oneshot_pids(pids),
+                        jnp.float32(sp.recall_target),
+                        k=k_eff, metric=self.metric,
+                        dimension=self.aps_dimension or self.d(),
+                        radius_a=jnp.float32(ra), radius_b=jnp.float32(rb),
+                        use_precomputed=bool(sp.use_precomputed),
+                        table=table, qt=qt, group_chunk=group_chunk,
+                        gamma=(jnp.float32(self.aps_gamma)
+                               if self.aps_gamma != 1.0 else None),
+                        plan_margin=int(sp.aps_plan_margin),
+                    )
+                elif mode == "planned":
                     scores, ids32, scanned = sharded_aps_search_planned(
                         self.mesh, state.codes, state.ids, state.centroids,
                         q, pids,
@@ -666,7 +831,31 @@ class QuakeIndex:
 
                     scores, ids32 = dedup_topk(scores, ids32, k)
             else:
-                if mode == "planned":
+                if mode == "oneshot":
+                    ra, rb = self._radius_coef(k_eff)
+                    scores, ids32, scanned = coordinator.aps_search_oneshot(
+                        state.codes,
+                        state.ids,
+                        state.centroids,
+                        q,
+                        self._oneshot_pids(pids),
+                        jnp.float32(sp.recall_target),
+                        k=k_eff,
+                        metric=self.metric,
+                        dimension=self.aps_dimension or self.d(),
+                        radius_a=jnp.float32(ra),
+                        radius_b=jnp.float32(rb),
+                        use_precomputed=bool(sp.use_precomputed),
+                        table=table,
+                        qt=qt,
+                        kernel=self._grouped_kernel(),
+                        sizes=state.sizes,
+                        norms=state.norms,
+                        gamma=(jnp.float32(self.aps_gamma)
+                               if self.aps_gamma != 1.0 else None),
+                        plan_margin=int(sp.aps_plan_margin),
+                    )
+                elif mode == "planned":
                     scores, ids32, scanned = coordinator.aps_search_planned(
                         state.codes,
                         state.ids,
@@ -1106,6 +1295,9 @@ class QuakeIndex:
             "has_parent": self.parent is not None,
             "aps_dimension": self.aps_dimension,
             "aps_gamma": self.aps_gamma,
+            "aps_radius_ab": (self.aps_radius_ab.tolist()
+                              if self.aps_radius_ab is not None else None),
+            "aps_oneshot_mcap": self.aps_oneshot_mcap,
             "spill": self.spill,
             "soar_lambda": self.soar_lambda,
             "free_rows": self.store.free_rows,
@@ -1141,6 +1333,10 @@ class QuakeIndex:
         self.level = meta["level"]
         self.aps_dimension = meta.get("aps_dimension", 0)
         self.aps_gamma = meta.get("aps_gamma", 1.0)
+        rab = meta.get("aps_radius_ab")
+        self.aps_radius_ab = (np.asarray(rab, np.float32)
+                              if rab is not None else None)
+        self.aps_oneshot_mcap = meta.get("aps_oneshot_mcap", 0)
         dtype = jnp.bfloat16 if meta.get("precision") == "bf16" else jnp.float32
 
         from quake_tpu.storage.store import StoreState

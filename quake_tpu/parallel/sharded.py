@@ -277,6 +277,77 @@ def sharded_aps_search_planned(mesh, codes, ids, centroids, q, pids,
     return fn(codes, ids, centroids, q, pids, table)
 
 
+def sharded_aps_search_oneshot(mesh, codes, ids, centroids, q, pids,
+                               recall_target, k: int, metric: str,
+                               dimension: int, radius_a, radius_b,
+                               use_precomputed: bool = True, table=None,
+                               qt: int = 32, group_chunk: int = 64,
+                               strategy: str | None = None, gamma=None,
+                               plan_margin: int = 4):
+    """Oneshot APS over the mesh: predicted-radius probe plan -> ONE masked
+    scan (see coordinator.aps_search_oneshot). The plan is computed from
+    replicated inputs (centroids, pids, the calibrated radius model), so
+    every device masks identically; the scan is local + all_gather merge."""
+    from quake_tpu.coordinator import aps_oneshot, aps_setup
+    from quake_tpu.ops.grouped import grouped_scan_xla
+
+    if strategy is None:
+        strategy = "slot" if _detect_slot_sharded(codes) else "partition"
+    if table is None and use_precomputed:
+        from quake_tpu.geometry import beta_table
+
+        table = beta_table(dimension, "l2")
+    if table is None:
+        table = jnp.zeros((2, 1), jnp.float32)
+
+    def local(codes_l, ids_l, cents, q_l, pids_l, table_l):
+        boundary, valid, _ = aps_setup(
+            q_l, cents, pids_l, dimension, use_precomputed=False, table=None
+        )
+
+        if strategy == "slot":
+
+            def scan_chunk(eff):
+                s, i, _ = grouped_scan_xla(
+                    codes_l, ids_l, q_l, eff, k, metric,
+                    qt=qt, group_chunk=group_chunk,
+                )
+                return _merge_gathered(s, i, k, SHARD_AXIS)
+
+        else:
+
+            def scan_chunk(eff):
+                dev = lax.axis_index(SHARD_AXIS)
+                p_local = codes_l.shape[0]
+                local_idx = eff - dev.astype(jnp.int32) * p_local
+                owned = (eff >= 0) & (local_idx >= 0) & (local_idx < p_local)
+                leff = jnp.where(owned, local_idx, -1)
+                s, i, _ = grouped_scan_xla(
+                    codes_l, ids_l, q_l, leff, k, metric,
+                    qt=qt, group_chunk=group_chunk,
+                )
+                return _merge_gathered(s, i, k, SHARD_AXIS)
+
+        return aps_oneshot(
+            q_l, pids_l, boundary, valid, table_l, recall_target, k, metric,
+            dimension, use_precomputed, scan_chunk, cents, radius_a,
+            radius_b, gamma=gamma, plan_margin=plan_margin,
+        )
+
+    if strategy == "slot":
+        store_spec = P(None, SHARD_AXIS)
+    else:
+        store_spec = P(SHARD_AXIS)
+    fn = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(store_spec, store_spec, P(), P(), P(), P()),
+        out_specs=(P(), P(), P()),
+        check_vma=False,
+    )
+    return fn(codes, ids, centroids, q, pids, table)
+
+
 def sharded_kmeans_step(mesh, x_sharded, centroids, metric: str = "l2"):
     """One data-parallel Lloyd iteration: x rows sharded, centroids
     replicated; segment sums psum over the mesh. Returns (new_centroids

@@ -177,10 +177,15 @@ class SearchParams:
     aps_chunk_size: int = 0
     # APS execution strategy: "auto" picks "planned" (prologue scan ->
     # one-shot per-query probe plan -> single masked tail scan; two fused
-    # programs, no while loop) at production batch on a single device, and
-    # "loop" (lax.while_loop over ranked chunks — the reference's polling
+    # programs, no while loop) at production batch, and "loop"
+    # (lax.while_loop over ranked chunks — the reference's polling
     # semantics, query_coordinator.cpp:383-430) otherwise. Explicit values
-    # pin the strategy.
+    # pin the strategy. "oneshot" drops the prologue too: the k-th-neighbor
+    # radius is PREDICTED from the nearest-centroid distance via the
+    # build-time-calibrated model (index.calibrate_aps stage 3) and the
+    # whole plan is scanned in ONE pass — the cheapest mode; adherence
+    # rests on the calibrated predictor (falls back to "planned" when
+    # uncalibrated).
     aps_mode: str = "auto"
     # Planned mode only: extra ranks granted to every query whose plan
     # extends past the prologue scan. The recall model is most optimistic

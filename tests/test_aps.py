@@ -199,6 +199,47 @@ def test_aps_planned_mode_adherence(metric):
         assert achieved >= achieved_l - 0.1
 
 
+def test_aps_oneshot_mode_adherence(tmp_path):
+    """Oneshot APS (predicted-radius plan -> ONE scan, no prologue): must
+    adhere to the target; the calibrated radius model persists through
+    save/load. Falls back to planned when the build-time validation
+    declined the predictor (still adherent either way)."""
+    from quake_tpu import IndexBuildParams, QuakeIndex, SearchParams
+    from quake_tpu.utils import compute_recall, knn
+
+    rng = np.random.default_rng(7)
+    x = rng.standard_normal((20_000, 32)).astype(np.float32)
+    q = rng.standard_normal((20, 32)).astype(np.float32)
+    ids = np.arange(20_000, dtype=np.int64)
+    idx = QuakeIndex()
+    idx.build(x, ids, IndexBuildParams(nlist=200, metric="l2"))
+    gt, _ = knn(q, x, 10, "l2")
+
+    for target in (0.5, 0.9):
+        res = idx.search(
+            q,
+            SearchParams(k=10, recall_target=target,
+                         initial_search_fraction=0.5, aps_mode="oneshot"),
+        )
+        achieved = compute_recall(res.ids, gt, 10)
+        assert achieved >= target - 0.05, f"target {target}, achieved {achieved}"
+        assert res.timing_info.partitions_scanned <= 100
+
+    if idx.aps_radius_ab is not None:
+        # Rows are (a_k, b_k); radius must be nondecreasing in k at the
+        # sample's typical d1 scale (more neighbors = larger radius).
+        assert idx.aps_radius_ab.shape[1] == 2
+        p = tmp_path / "oneshot_idx"
+        idx.save(str(p))
+        idx2 = QuakeIndex()
+        idx2.load(str(p))
+        np.testing.assert_allclose(idx2.aps_radius_ab, idx.aps_radius_ab)
+        res2 = idx2.search(
+            q, SearchParams(k=10, recall_target=0.9,
+                            initial_search_fraction=0.5, aps_mode="oneshot"))
+        assert compute_recall(res2.ids, gt, 10) >= 0.85
+
+
 def test_effective_dimension():
     """Participation-ratio dimension: ~ambient for isotropic data, ~intrinsic
     for manifold data (drives the APS cap-volume model)."""

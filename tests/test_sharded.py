@@ -108,6 +108,39 @@ def test_sharded_aps_planned_matches_single_device(small_data):
     assert res_sharded.timing_info.partitions_scanned == scanned_single
 
 
+def test_sharded_aps_oneshot_matches_single_device():
+    """Oneshot APS on a mesh == single-device oneshot: the plan is computed
+    from replicated inputs (centroids + calibrated radius model), so every
+    device derives the same mask and results match exactly. Clustered data:
+    on isotropic corpora the 25% candidate set caps achievable recall below
+    the calibration goal and the predictor (correctly) declines."""
+    rng = np.random.default_rng(3)
+    centers = rng.standard_normal((32, 32)).astype(np.float32) * 6.0
+    assign = rng.integers(0, 32, 10_000)
+    x = centers[assign] + rng.standard_normal((10_000, 32)).astype(np.float32)
+    q = centers[rng.integers(0, 32, 64)] + rng.standard_normal(
+        (64, 32)).astype(np.float32)
+    ids = np.arange(10_000, dtype=np.int64)
+    idx = QuakeIndex()
+    idx.build(x, ids, IndexBuildParams(nlist=32))
+    if idx.aps_radius_ab is None:
+        pytest.skip("radius predictor declined calibration on this corpus")
+    sp = SearchParams(k=10, recall_target=0.9, initial_search_fraction=0.5,
+                      aps_mode="oneshot")
+    res_single = idx.search(q, sp)
+    scanned_single = res_single.timing_info.partitions_scanned
+
+    idx.shard(len(jax.devices()))
+    res_sharded = idx.search(q, sp)
+    np.testing.assert_array_equal(res_single.ids, res_sharded.ids)
+    # Shards assemble different group packings, so matmul reduction order
+    # (and the sqrt'd distances) differ by float noise.
+    np.testing.assert_allclose(
+        res_single.distances, res_sharded.distances, rtol=1e-4, atol=1e-4
+    )
+    assert res_sharded.timing_info.partitions_scanned == scanned_single
+
+
 def test_sharded_aps_partition_strategy(small_data):
     """APS with partition-axis (block ownership) sharding returns correct
     top-k and meets the recall target."""
