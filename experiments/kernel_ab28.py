@@ -43,17 +43,18 @@ def main():
     from quake_tpu.ops import pallas_grouped as pg
     from quake_tpu.ops.scan import scores_to_distances
 
-    D, k, B = 128, 10, 4096
-    P, C = 1024, 1536
+    # Round-3 session-D bench shape (nlist=512 operating point, B=8192).
+    D, k, B = 128, 10, 8192
+    P, C = 512, 2816
     rng = np.random.default_rng(1)
-    codes, ids, sizes, norms, cents = make_setup(P, C, D)
+    codes, ids, sizes, norms, cents = make_setup(P, C, D, fill=0.72)
     q = jnp.asarray(rng.standard_normal((B, D)).astype(np.float32))
-    pids = jnp.asarray(rng.integers(0, P, (B, 16)).astype(np.int32))
+    nprobe = 14
+    pids = jnp.asarray(rng.integers(0, P, (B, nprobe)).astype(np.int32))
     codes_bf = codes.astype(jnp.bfloat16)
     norms_bf = jnp.sum(codes_bf.astype(jnp.float32) ** 2, axis=2)
     pc = cents.reshape(1, P, D)
     pid_arr = jnp.arange(P, dtype=jnp.int32).reshape(1, P)
-    nprobe = 16
     n = B * nprobe
     qt = 64
     kk = k
@@ -123,10 +124,11 @@ def main():
 
     @jax.jit
     def sort2_only(qs_in):
-        r_iota = jnp.arange(R, dtype=jnp.int32)
-        key2 = qs_in * (1 << 17) + r_iota
+        # uint32 packing: qs <= B (14 bits) + row (18 bits at this shape).
+        r_iota = jnp.arange(R, dtype=jnp.uint32)
+        key2 = qs_in.astype(jnp.uint32) * jnp.uint32(1 << 18) + r_iota
         ks = jnp.sort(key2)
-        return jnp.sum(ks[:1])
+        return jnp.sum(ks[:1].astype(jnp.int32))
 
     @jax.jit
     def rowtake_only(rows_in, idx_in):
@@ -147,10 +149,10 @@ def main():
     @jax.jit
     def sort2_take(rows_in, qs_in):
         # The full v11 placement: second sort + row take + reshape.
-        r_iota = jnp.arange(R, dtype=jnp.int32)
-        key2 = qs_in * (1 << 17) + r_iota
+        r_iota = jnp.arange(R, dtype=jnp.uint32)
+        key2 = qs_in.astype(jnp.uint32) * jnp.uint32(1 << 18) + r_iota
         ks = jnp.sort(key2)
-        r_sorted = (ks & ((1 << 17) - 1))[:n]
+        r_sorted = (ks & jnp.uint32((1 << 18) - 1)).astype(jnp.int32)[:n]
         m = jnp.take(rows_in, r_sorted, axis=0)
         return jnp.sum(m[:, :1])
 

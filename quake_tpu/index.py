@@ -412,15 +412,16 @@ class QuakeIndex:
         # machinery costs scale with the FULL candidate width M (e.g. 256
         # at the default initial_search_fraction), but plans rarely extend
         # past a few tens of ranks — measured 11.7 ms vs 7.5 ms fixed at
-        # B=4096 with M=256 (aps_oneshot_ab). Cap the width at 2x the
-        # validation sample's 98th-percentile plan (pow2-bucketed, floor
-        # 16) — a max-based cap never engaged (one hard resident query
-        # plans deep) — then re-validate ONCE with the cap applied; clipped
-        # queries still scan the whole capped prefix, and the cap is
-        # dropped if capped recall misses the goal.
+        # B=4096 with M=256 (aps_oneshot_ab). Cap the width at 4x the
+        # validation sample's MEAN plan (pow2-bucketed, floor 16) — max-
+        # and p98-based caps never engaged: a few resident queries with a
+        # large predicted radius plan the full width — then re-validate
+        # ONCE with the cap applied; clipped queries still scan the whole
+        # capped prefix, and the cap is dropped if capped recall misses
+        # the goal.
         sc_np = np.asarray(sc)
         mcap = int(max(16, next_pow2(int(
-            2 * max(float(np.percentile(sc_np, 98)), 1.0)))))
+            4 * max(float(sc_np.mean()), 1.0)))))
         self.aps_oneshot_mcap = 0
         if mcap < pids.shape[1]:
             ra = float(self.aps_radius_ab[kc - 1, 0])
