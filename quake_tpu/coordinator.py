@@ -467,7 +467,8 @@ def aps_oneshot(q, pids, boundary, valid, table, recall_target, k: int,
 
 def grouped_scan(codes, ids, sizes, norms, q, pids, k: int, metric: str,
                  qt: int, group_chunk: int, kernel: str,
-                 dedup: bool = False, exact: bool = True):
+                 dedup: bool = False, exact: bool = True,
+                 dense: bool = False):
     """Dispatch to a grouped-scan backend by name.
 
     kernel: "xla" (chunked lax.map — any platform), "v2" (whole-slab Pallas,
@@ -523,19 +524,18 @@ def grouped_scan(codes, ids, sizes, norms, q, pids, k: int, metric: str,
             "use the default v3pN, v4, v5/v6, v7, or xla backends"
         )
     if (kernel.startswith("v7") or kernel.startswith("v8")
-            or kernel.startswith("v9") or kernel.startswith("v10")):
+            or kernel.startswith("v9") or kernel.startswith("v10")
+            or kernel.startswith("v11")):
         from quake_tpu.ops.pallas_grouped import (
             grouped_scan_pallas_v7,
             grouped_scan_pallas_v8,
             grouped_scan_pallas_v9,
             grouped_scan_pallas_v10,
+            grouped_scan_pallas_v11,
         )
 
-        name = "v10" if kernel.startswith("v10") else kernel[:2]
-        fn = {"v7": grouped_scan_pallas_v7,
-              "v8": grouped_scan_pallas_v8,
-              "v9": grouped_scan_pallas_v9,
-              "v10": grouped_scan_pallas_v10}[name]
+        name = ("v11" if kernel.startswith("v11")
+                else "v10" if kernel.startswith("v10") else kernel[:2])
         gpb, fold = 4, 128
         spec = kernel[len(name):]  # "", "g8", "g4f256", "f256"
         if "f" in spec:
@@ -543,6 +543,25 @@ def grouped_scan(codes, ids, sizes, norms, q, pids, k: int, metric: str,
             fold = int(fs)
         if spec.startswith("g"):
             gpb = int(spec[1:])
+        if name == "v11" and not dense:
+            # The sorted-placement epilogue requires every pair valid
+            # (fixed-nprobe semantics); masked pid matrices (APS tails)
+            # ride the scatter epilogue instead.
+            name = "v10"
+        B = q.shape[0]
+        if name == "v11":
+            from quake_tpu.ops.grouped import group_layout
+
+            rows = -(-group_layout(B, pids.shape[1], codes.shape[0], qt)
+                     // gpb) * gpb * qt
+            if (max((rows - 1).bit_length(), 1)
+                    + max((B - 1).bit_length(), 1)) > 32:
+                name = "v10"  # sort key would overflow uint32
+        fn = {"v7": grouped_scan_pallas_v7,
+              "v8": grouped_scan_pallas_v8,
+              "v9": grouped_scan_pallas_v9,
+              "v10": grouped_scan_pallas_v10,
+              "v11": grouped_scan_pallas_v11}[name]
         C = codes.shape[1]
         if C % fold:
             # Fall back to the non-folded packed kernel on odd capacities.
@@ -551,7 +570,7 @@ def grouped_scan(codes, ids, sizes, norms, q, pids, k: int, metric: str,
             return grouped_scan_pallas_v3pn(codes, ids, sizes, norms, q, pids,
                                             k, metric, qt=qt, gpb=gpb,
                                             dedup=dedup)
-        if name == "v10":
+        if name in ("v10", "v11"):
             return fn(codes, ids, sizes, norms, q, pids,
                       k, metric, qt=qt, gpb=gpb, fold=fold, dedup=dedup,
                       exact=exact)
@@ -634,9 +653,11 @@ def fused_ivf_search(
 
     pids = rank_parents(parent_codes, parent_ids, parent_norms, q, nprobe,
                         metric, parent_kernel)
+    # The parent ranking always yields nprobe valid candidates, so the
+    # dense (sorted-placement) epilogue is safe here.
     scores, ids32, scanned = grouped_scan(
         codes, ids, sizes, norms, q, pids, k, metric, qt, group_chunk, kernel,
-        dedup=dedup, exact=exact,
+        dedup=dedup, exact=exact, dense=True,
     )
     dists = scores_to_distances(scores, ids32, metric)
     return scores, ids32, dists, scanned, pids

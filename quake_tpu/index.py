@@ -585,14 +585,15 @@ class QuakeIndex:
         """Grouped-scan backend choice. Mosaic kernels only lower on real TPU
         backends (measured ~5x over the chunked-XLA grouped scan); the
         QUAKE_TPU_KERNEL env var overrides for A/B runs ("xla"/"v2"/"v3"/
-        "v3p"/"v7"/"v8"/"v9"/"v10").
+        "v3p"/"v7"/"v8"/"v9"/"v10"/"v11").
 
-        Production default (round 3): v10 — the v9 kernel (global-scale
-        quantize + joint selection rounds) with the SCATTER epilogue: one
-        [n, kk] row scatter replaces the inverse-permutation + pair-gather
-        pathway (kernel_ab24 same-run: 6.53 vs 7.51 ms standalone, fused
-        7.81 vs 8.88 ms at B=4096/nprobe=16 bf16). The dispatch falls back
-        to v3pn when C % 128 != 0.
+        Production default (round 3): v11 — the v9 kernel (global-scale
+        quantize + joint selection rounds) with the SORTED-placement
+        epilogue on dense (fixed-nprobe) scans: a packed uint32 sort + one
+        row take replace v10's [n, kk] row scatter (1.83 -> ~0.8 ms at the
+        nlist=512/B=8192 bench shape, kernel_ab28). Masked pid matrices
+        (APS tails) automatically ride the v10 scatter epilogue; the
+        dispatch falls back to v3pn when C % 128 != 0.
 
         Groups-per-step is budgeted against VMEM: the pipeline double-buffers
         gpb slabs of C*D elements (a 960-d store with C=640 OOMs scoped vmem
@@ -605,7 +606,7 @@ class QuakeIndex:
                 elt = 2 if self.store.state.codes.dtype == jnp.bfloat16 else 4
                 slab = self.store.C * self.d() * elt
                 gpb = max(1, min(4, (12 << 20) // max(2 * slab, 1)))
-                return f"v10g{gpb}" if slab * 2 <= (12 << 20) else "xla"
+                return f"v11g{gpb}" if slab * 2 <= (12 << 20) else "xla"
         except Exception:
             pass
         return "xla"

@@ -169,7 +169,7 @@ class ListScanLatencyEstimator:
         from quake_tpu.coordinator import grouped_scan
 
         if kernel is None:
-            kernel = "v10" if jax.default_backend() == "tpu" else "xla"
+            kernel = "v11" if jax.default_backend() == "tpu" else "xla"
         Pp = 32
         rng = np.random.default_rng(0)
         q = jnp.asarray(rng.standard_normal((n_queries, self.d)).astype(np.float32))
@@ -177,7 +177,7 @@ class ListScanLatencyEstimator:
         for i, n in enumerate(self.n_values):
             C = max(256, -(-int(n) // 256) * 256)
             kern = kernel
-            if kernel.startswith(("v10", "v9", "v8", "v7", "v3p")):
+            if kernel.startswith(("v11", "v10", "v9", "v8", "v7", "v3p")):
                 # VMEM-budget the groups-per-step for THIS grid point's slab
                 # (C grows with n; the caller's index-shaped gpb choice can
                 # OOM scoped vmem at the big-n cells — the pipeline
@@ -185,8 +185,9 @@ class ListScanLatencyEstimator:
                 # QuakeIndex._grouped_kernel).
                 slab = C * self.d * 4
                 gpb = max(1, min(4, (12 << 20) // max(2 * slab, 1)))
-                base = ("v10" if kernel.startswith("v10") else kernel[:2])
-                base = base if base in ("v10", "v9", "v8", "v7") else "v3p"
+                base = ("v11" if kernel.startswith("v11")
+                        else "v10" if kernel.startswith("v10") else kernel[:2])
+                base = base if base in ("v11", "v10", "v9", "v8", "v7") else "v3p"
                 kern = (f"{base}g{gpb}" if base != "v3p" else f"v3p{gpb}")
                 if slab * 2 > (12 << 20):
                     kern = "xla"
@@ -208,7 +209,7 @@ class ListScanLatencyEstimator:
                 def call():
                     return grouped_scan(
                         codes, ids_dev, sizes, norms, q, pids,
-                        kk, "l2", qt, gc, kern,
+                        kk, "l2", qt, gc, kern, dense=True,
                     )
 
                 out = call()

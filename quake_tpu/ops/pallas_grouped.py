@@ -1367,8 +1367,70 @@ def _scatter_epilogue(g_packed, tgt, pids, codes, ids, norms, q, k: int,
     rows = g_packed.reshape(-1, g_packed.shape[-1])  # [Gn*qt, kk]
     mp = jnp.full((n + 1, kk), -1.0, jnp.float32).at[tgt.reshape(-1)].set(
         rows, mode="drop")
+    m_packed = mp[:n].reshape(B, nprobe * kk)
+    return _pool_tail(m_packed, pids, pids, codes, ids, norms, q, k, kk,
+                      metric, slot_mult, levels, dedup,
+                      pool_factor=pool_factor, merge=merge,
+                      interpret=interpret, exact=exact, gmin=gmin, ginv=ginv)
+
+
+def _sorted_epilogue(g_packed, tgt, group_size, pids, codes, ids, norms, q,
+                     k: int, kk: int, metric: str, slot_mult: int,
+                     levels: int, dedup: bool, pool_factor: int = 1,
+                     merge: str = "pallas", interpret: bool = False,
+                     exact: bool = True, gmin=None, ginv=None):
+    """v11 epilogue: SORTED placement replaces the v10 row scatter.
+
+    The v10 [n, kk] row scatter costs 1.83 ms at the nlist=512/B=8192 bench
+    shape while a packed single-key sort + one row take costs 0.79
+    (kernel_ab28). Every kernel row's owning query is known (qs =
+    tgt // nprobe), so sorting row indices by the uint32 key
+    (qs << r_bits) | row and taking the first n rows lands each query's
+    nprobe rows CONTIGUOUSLY at [b*nprobe, (b+1)*nprobe) — no inverse
+    permutation, no scatter. DENSE-ONLY: requires every pair valid
+    (fixed-nprobe semantics); within a query the pool columns come out in
+    ascending-partition order (rows sort by row index = partition-major),
+    so the winner pid lookup uses the per-query ASCENDING pid sort instead
+    of the probe-rank order.
+
+    Rows of ghost (size-0) groups keep their pair slot for alignment; their
+    stale kernel values are masked to -1 via group_size before the take.
+    """
+    B, nprobe = pids.shape
+    n = B * nprobe
+    rows = g_packed.reshape(-1, g_packed.shape[-1])  # [R, kk]
+    R = rows.shape[0]
+    qt = R // group_size.shape[0]
+    r_bits = max((R - 1).bit_length(), 1)
+    alive = jnp.repeat(group_size > 0, qt)  # [R]
+    rows = jnp.where(alive[:, None], rows, -1.0)
+    tgt_flat = tgt.reshape(-1)
+    iota = jnp.arange(R, dtype=jnp.uint32)
+    qsf = (tgt_flat // nprobe).astype(jnp.uint32)
+    key2 = jnp.where(tgt_flat < n,
+                     (qsf << r_bits) | iota, jnp.uint32(0xFFFFFFFF))
+    ks = jnp.sort(key2)
+    r_sorted = (ks & jnp.uint32((1 << r_bits) - 1)).astype(jnp.int32)[:n]
+    m_packed = jnp.take(rows, r_sorted, axis=0).reshape(B, nprobe * kk)
+    sorted_pids = jnp.sort(pids, axis=1)
+    return _pool_tail(m_packed, sorted_pids, pids, codes, ids, norms, q, k,
+                      kk, metric, slot_mult, levels, dedup,
+                      pool_factor=pool_factor, merge=merge,
+                      interpret=interpret, exact=exact, gmin=gmin, ginv=ginv)
+
+
+def _pool_tail(m_packed, pid_cols, pids, codes, ids, norms, q, k: int,
+               kk: int, metric: str, slot_mult: int, levels: int,
+               dedup: bool, pool_factor: int = 1, merge: str = "pallas",
+               interpret: bool = False, exact: bool = True,
+               gmin=None, ginv=None):
+    """Shared pool-side tail of the v10/v11 epilogues: key merge, winner
+    ref derivation, exact rescore or dequantized scoring. pid_cols [B,
+    nprobe] maps pool column j -> j // kk -> that query's partition (probe
+    order for the scatter placement, ascending-pid order for the sorted
+    placement); pids is only used for the scanned count."""
+    B, nprobe = pids.shape
     pool = nprobe * kk
-    m_packed = mp[:n].reshape(B, pool)
     m_keys = jnp.where(m_packed >= 0.0,
                        jnp.floor(m_packed / float(slot_mult)), -1.0)
 
@@ -1379,7 +1441,7 @@ def _scatter_epilogue(g_packed, tgt, pids, codes, ids, norms, q, k: int,
         # top-k + dedup + exact-rescore tail.
         slot = jnp.mod(m_packed, float(slot_mult)).astype(jnp.int32)
         pid_b = jnp.broadcast_to(
-            pids[:, :, None], (B, nprobe, kk)).reshape(B, pool)
+            pid_cols[:, :, None], (B, nprobe, kk)).reshape(B, pool)
         ok = (m_packed >= 0.0) & (pid_b >= 0)
         m_refs = jnp.where(ok, (jnp.maximum(pid_b, 0) << 16) | slot, -1)
         m_scores = jnp.where(ok, m_keys, NEG_INF)
@@ -1423,7 +1485,7 @@ def _scatter_epilogue(g_packed, tgt, pids, codes, ids, norms, q, k: int,
     posc = jnp.clip(pos, 0, pool - 1)
     pk = jnp.take_along_axis(m_packed, posc, axis=1)  # [B, kfin]
     slot = jnp.mod(pk, float(slot_mult)).astype(jnp.int32)
-    wpid = jnp.take_along_axis(pids, posc // kk, axis=1)
+    wpid = jnp.take_along_axis(pid_cols, posc // kk, axis=1)
     valid = (pos >= 0) & (pk >= 0.0) & (wpid >= 0)
     top_refs = jnp.where(valid, (jnp.maximum(wpid, 0) << 16) | slot, -1)
     if exact:
@@ -1548,6 +1610,106 @@ def grouped_scan_pallas_v10(codes, ids, sizes, norms, q, pids, k: int,
                              pool_factor=pool_factor, merge=merge,
                              interpret=interpret, exact=exact,
                              gmin=gmin, ginv=ginv)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "metric", "qt", "gpb", "fold", "dedup",
+                     "pool_factor", "bounds", "merge", "interpret", "exact"),
+)
+def grouped_scan_pallas_v11(codes, ids, sizes, norms, q, pids, k: int,
+                            metric: str, qt: int = 64, gpb: int = 4,
+                            fold: int = 128, dedup: bool = False,
+                            pool_factor: int = 1, bounds: str = "analytic",
+                            merge: str = "pallas", interpret: bool = False,
+                            exact: bool = True):
+    """v11: the v9 kernel with the SORTED-placement epilogue (see
+    _sorted_epilogue) — one packed uint32 sort + one row take replace the
+    v10 row scatter (1.83 -> ~0.8 ms at the nlist=512/B=8192 bench shape,
+    kernel_ab28). DENSE-ONLY: requires every pid valid (fixed-nprobe
+    semantics); callers with masked pid matrices (APS tails) must use v10.
+    Same returns/semantics as v10; membership can differ from v10 only at
+    quantization ties (the pool holds the same candidates in
+    ascending-partition column order)."""
+    from quake_tpu.ops.grouped import build_groups_scatter
+
+    B, D = q.shape
+    P, C, _ = codes.shape
+    if P >= 32768 or C > 65536:
+        raise ValueError("v11 packs (pid, slot) into int32: needs P < 32768, C <= 65536")
+    if C % fold:
+        raise ValueError(f"v11 needs C % fold == 0 (C={C}, fold={fold})")
+    kk = min(k, C)
+    slot_mult = max(1 << (int(C - 1).bit_length()), 2)
+    levels = (1 << 24) // slot_mult - 2
+
+    qf = q.astype(jnp.float32)
+    gmin, grange = _global_bounds(qf, codes, norms, sizes, metric, bounds)
+    ginv = float(levels) / grange
+    q_coef = 2.0 * ginv if metric == "l2" else ginv
+    normsT = ((norms if metric == "l2" else jnp.zeros_like(norms)) + gmin) * ginv
+
+    group_pid, qlist, tgt = build_groups_scatter(pids, P, qt)
+    G = group_pid.shape[0]
+    Gn = -(-G // gpb) * gpb
+    # Sort-key budget: (qs << r_bits) | row must fit uint32.
+    r_bits = max((Gn * qt - 1).bit_length(), 1)
+    qs_bits = max((B - 1).bit_length(), 1)
+    if r_bits + qs_bits > 32:
+        raise ValueError(
+            f"v11 sort key overflows uint32 (B={B}, rows={Gn * qt}); use v10")
+    gp = jnp.pad(group_pid, (0, Gn - G), constant_values=-1)
+    ql = jnp.pad(qlist, ((0, Gn - G), (0, 0)), constant_values=-1)
+    tgt = jnp.pad(tgt, ((0, Gn - G), (0, 0)),
+                  constant_values=B * pids.shape[1])
+    group_size = jnp.where(gp >= 0, sizes[jnp.maximum(gp, 0)], 0).astype(jnp.int32)
+    # Unlike v10, ghost (size-0) rows KEEP their pair slot — the sorted
+    # placement needs every valid pair to own exactly one row for the
+    # [b*nprobe, (b+1)*nprobe) alignment; their stale values are masked in
+    # the epilogue via group_size.
+    safe_q = jnp.where(ql >= 0, ql, 0)
+    qg = (qf * q_coef).astype(codes.dtype)[safe_q]
+
+    def slab_spec(j):
+        return pl.BlockSpec(
+            (1, C, D), lambda g, gp_, gs: (jnp.maximum(gp_[gpb * g + j], 0), 0, 0)
+        )
+
+    def norms_spec(j):
+        return pl.BlockSpec(
+            (1, 1, C), lambda g, gp_, gs: (jnp.maximum(gp_[gpb * g + j], 0), 0, 0)
+        )
+
+    kernel = _v9_kernel(kk, slot_mult, levels, gpb, fold)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(Gn // gpb,),
+        in_specs=(
+            [pl.BlockSpec((gpb, qt, D), lambda g, gp_, gs: (g, 0, 0))]
+            + [slab_spec(j) for j in range(gpb)]
+            + [norms_spec(j) for j in range(gpb)]
+        ),
+        out_specs=[
+            pl.BlockSpec((gpb, qt, kk), lambda g, gp_, gs: (g, 0, 0)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((gpb * qt, fold), jnp.float32),
+            pltpu.VMEM((gpb * qt, fold), jnp.float32),
+        ],
+    )
+    out_shape = [jax.ShapeDtypeStruct((Gn, qt, kk), jnp.float32)]
+    (g_packed,) = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(gp, group_size, qg, *([codes] * gpb), *([normsT.reshape(P, 1, C)] * gpb))
+
+    return _sorted_epilogue(g_packed, tgt, group_size, pids, codes, ids,
+                            norms, q, k, kk, metric, slot_mult, levels,
+                            dedup, pool_factor=pool_factor, merge=merge,
+                            interpret=interpret, exact=exact,
+                            gmin=gmin, ginv=ginv)
 
 
 def _v4_kernel(metric: str, k: int, slot_mult: int, levels: int, gpb: int,

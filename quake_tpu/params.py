@@ -194,7 +194,7 @@ class SearchParams:
     # implicit adherence cushion) where the exact plan hands them the
     # model-minimal count. 0 = exact plan.
     aps_plan_margin: int = 4
-    # False = serving mode: skip the exact winner-vector rescore in the v10
+    # False = serving mode: skip the exact winner-vector rescore in the v10/v11
     # epilogue and return scores dequantized from the kernel's packed key
     # ((key+0.5)/ginv + gmin - |q|^2). With the default rescore pool
     # (pool_factor=1) the rescore cannot change MEMBERSHIP — only ordering

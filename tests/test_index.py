@@ -245,7 +245,7 @@ def test_grouped_kernel_vmem_budget(monkeypatch):
     idx = QuakeIndex()
     idx.build(rng.standard_normal((4000, 32)).astype(np.float32),
               np.arange(4000, dtype=np.int64), IndexBuildParams(nlist=16))
-    assert idx._grouped_kernel() == "v10g4"  # small slab: full pipelining
+    assert idx._grouped_kernel() == "v11g4"  # small slab: full pipelining
 
     wide = QuakeIndex()
     wide.build(rng.standard_normal((3000, 960)).astype(np.float32),
@@ -253,14 +253,14 @@ def test_grouped_kernel_vmem_budget(monkeypatch):
     k = wide._grouped_kernel()
     elt = 4
     slab = wide.store.C * wide.d() * elt
-    if k.startswith(("v9g", "v10g")):
+    if k.startswith(("v9g", "v10g", "v11g")):
         gpb = int(k.split("g")[1])
     elif k.startswith("v3p") and len(k) > 3:
         gpb = int(k[3:])
     else:
         gpb = 0
     assert k == "xla" or gpb * 2 * slab <= (12 << 20), (k, slab)
-    if k.startswith(("v3p", "v9g", "v10g")):
+    if k.startswith(("v3p", "v9g", "v10g", "v11g")):
         assert gpb < 4  # the wide slab must have reduced the pipeline depth
 
 

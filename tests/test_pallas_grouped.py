@@ -437,13 +437,20 @@ def test_v7_dedup_spilled():
         assert len(valid) == len(set(valid.tolist()))
 
 
-def test_v10_dedup_spilled():
-    """v10 (scatter epilogue) with dedup: pool-side refs are rebuilt from
-    (pids, packed slot) instead of pair-gathered — no duplicate ids may
-    surface from a spilled layout, and results must match the oracle over
-    the probed partitions' distinct vectors."""
-    from quake_tpu.ops.pallas_grouped import grouped_scan_pallas_v10
+@pytest.mark.parametrize("variant_name", ["v10", "v11"])
+def test_v10_dedup_spilled(variant_name):
+    """v10 (scatter epilogue) / v11 (sorted placement) with dedup:
+    pool-side refs are rebuilt from (pid columns, packed slot) instead of
+    pair-gathered — no duplicate ids may surface from a spilled layout, and
+    results must match the oracle over the probed partitions' distinct
+    vectors."""
+    from quake_tpu.ops.pallas_grouped import (
+        grouped_scan_pallas_v10,
+        grouped_scan_pallas_v11,
+    )
 
+    variant = {"v10": grouped_scan_pallas_v10,
+               "v11": grouped_scan_pallas_v11}[variant_name]
     rng = np.random.default_rng(9)
     P, C, D, B, k, qt = 6, 128, 16, 8, 5, 8
     nvec = P * C // 4
@@ -462,7 +469,7 @@ def test_v10_dedup_spilled():
     q = rng.standard_normal((B, D)).astype(np.float32)
     pids = np.stack([rng.permutation(P)[:4] for _ in range(B)]).astype(np.int32)
 
-    _, i2, _ = grouped_scan_pallas_v10(
+    _, i2, _ = variant(
         jnp.asarray(codes), jnp.asarray(ids), jnp.asarray(sizes),
         jnp.asarray(norms), jnp.asarray(q), jnp.asarray(pids), k, "l2",
         qt=qt, gpb=2, dedup=True, interpret=True)
@@ -519,25 +526,29 @@ def test_parent_rank_pallas_matches_exact(metric):
     assert total >= B * nprobe * 0.99
 
 
-@pytest.mark.parametrize("variant_name", ["v8", "v9", "v10"])
+@pytest.mark.parametrize("variant_name", ["v8", "v9", "v10", "v11"])
 @pytest.mark.parametrize("C", [128, 256])
 @pytest.mark.parametrize("metric", ["l2", "ip"])
 def test_v8_kernel_interpret_matches_xla(metric, C, variant_name):
-    """v8 (global-scale quantization) and v9 (v8 + joint rounds over a
-    [gpb*qt, fold] scratch): selection order uses a batch-global 13-bit
-    key, so membership can differ only at global-quantization ties (rare on
+    """v8 (global-scale quantization), v9 (v8 + joint rounds over a
+    [gpb*qt, fold] scratch), v10 (scatter epilogue), v11 (sorted-placement
+    epilogue): selection order uses a batch-global 13-bit key, so
+    membership can differ only at global-quantization ties (rare on
     continuous data); returned candidates carry EXACT scores. Requires
     >= k-1 per-row overlap with the oracle and exact scores for overlapping
-    ids; empty partitions + poisoned pads must never surface."""
+    ids; empty partitions + poisoned pads must never surface. v11 is
+    dense-only, so the masked-pid row is exercised on the other variants."""
     from quake_tpu.ops.pallas_grouped import (
         grouped_scan_pallas_v8,
         grouped_scan_pallas_v9,
         grouped_scan_pallas_v10,
+        grouped_scan_pallas_v11,
     )
 
     variant = {"v8": grouped_scan_pallas_v8,
                "v9": grouped_scan_pallas_v9,
-               "v10": grouped_scan_pallas_v10}[variant_name]
+               "v10": grouped_scan_pallas_v10,
+               "v11": grouped_scan_pallas_v11}[variant_name]
 
     rng = np.random.default_rng(11)
     P, D, B, nprobe, k, qt = 8, 16, 12, 3, 5, 8
@@ -551,7 +562,8 @@ def test_v8_kernel_interpret_matches_xla(metric, C, variant_name):
     norms = (codes.astype(np.float32) ** 2).sum(axis=2)
     q = rng.standard_normal((B, D)).astype(np.float32)
     pids = np.stack([rng.permutation(P)[:nprobe] for _ in range(B)]).astype(np.int32)
-    pids[0, 1:] = -1
+    if variant_name != "v11":  # v11 is dense-only (fixed-nprobe semantics)
+        pids[0, 1:] = -1
 
     clean = codes.copy()
     for p in range(P):
@@ -604,7 +616,7 @@ def test_v9_sampled_bounds_interpret():
         assert len(set(i1[b].tolist()) & set(i2[b].tolist())) >= k - 1, b
 
 
-@pytest.mark.parametrize("variant_name", ["v8", "v9", "v10"])
+@pytest.mark.parametrize("variant_name", ["v8", "v9", "v10", "v11"])
 def test_v8_unit_norm_ip_no_key_clipping(variant_name):
     """Regression (round-3 DEEP config, recall 0.003): the global-scale
     kernels hardcoded the l2 score form (2*prod), pushing every IP score
@@ -616,11 +628,13 @@ def test_v8_unit_norm_ip_no_key_clipping(variant_name):
         grouped_scan_pallas_v8,
         grouped_scan_pallas_v9,
         grouped_scan_pallas_v10,
+        grouped_scan_pallas_v11,
     )
 
     variant = {"v8": grouped_scan_pallas_v8,
                "v9": grouped_scan_pallas_v9,
-               "v10": grouped_scan_pallas_v10}[variant_name]
+               "v10": grouped_scan_pallas_v10,
+               "v11": grouped_scan_pallas_v11}[variant_name]
     rng = np.random.default_rng(21)
     P, C, D, B, nprobe, k, qt = 8, 256, 16, 16, 4, 5, 8
     codes = rng.standard_normal((P, C, D)).astype(np.float32)
@@ -647,13 +661,19 @@ def test_v8_unit_norm_ip_no_key_clipping(variant_name):
         assert ov >= k - 1, (b, i1[b], i2[b])
 
 
+@pytest.mark.parametrize("variant_name", ["v10", "v11"])
 @pytest.mark.parametrize("metric", ["l2", "ip"])
-def test_v10_dequantized_scores(metric):
-    """v10 exact=False: ids match the exact-rescore path (pool_factor=1
+def test_v10_dequantized_scores(metric, variant_name):
+    """v10/v11 exact=False: ids match the exact-rescore path (pool_factor=1
     means membership is fixed before rescore), and dequantized scores are
     within one quantization step of the exact scores."""
-    from quake_tpu.ops.pallas_grouped import grouped_scan_pallas_v10
+    from quake_tpu.ops.pallas_grouped import (
+        grouped_scan_pallas_v10,
+        grouped_scan_pallas_v11,
+    )
 
+    grouped_scan_pallas_v10 = {"v10": grouped_scan_pallas_v10,
+                               "v11": grouped_scan_pallas_v11}[variant_name]
     rng = np.random.default_rng(31)
     P, C, D, B, nprobe, k, qt = 8, 256, 16, 16, 4, 5, 8
     codes = rng.standard_normal((P, C, D)).astype(np.float32)
