@@ -103,20 +103,21 @@ def main():
     # parent merge ( [8, B, nprobe] x2 ) + result merge ( [8, B, k] x2 )
     # all_gathers ~ 5 MB at B=4096 over ~100 GB/s aggregate ICI => ~0.05 ms,
     # budgeted at 0.2 ms to cover latency + launch overheads.
-    t_fused_ms = 12.4  # round-3 measured fused batch time (B=4096, v7)
+    t_fused_ms = 8.85  # session-D measured fused batch (B=8192, v11, nlist=512)
+    bproj = 8192
     f8 = results_b.get(8, {}).get("fraction_of_single_device", 0.24)
     replicated = max(f8 - 1.0 / 8, 0.0) * t_fused_ms
     ici_ms = 0.2
     t8 = replicated + (t_fused_ms - replicated) / 8 + ici_ms
     print(f"projected v5e-8 fused batch time: {t8:.2f} ms -> "
-          f"{4096 / t8 * 1e3 / 1e6:.2f}M qps "
+          f"{bproj / t8 * 1e3 / 1e6:.2f}M qps "
           f"(replicated share {replicated:.2f} ms from measured f8={f8:.3f}; "
           f"ICI budget {ici_ms} ms)")
 
     with open("experiments/shard_work_division.json", "w") as f:
         json.dump({"per_device": results, "per_device_store_dominated": results_b,
                    "merge_bytes": merge_bytes,
-                   "projection_v5e8": {"t_ms": t8, "qps": 4096 / t8 * 1e3,
+                   "projection_v5e8": {"t_ms": t8, "qps": bproj / t8 * 1e3,
                                        "replicated_ms": replicated,
                                        "ici_budget_ms": ici_ms}}, f, indent=2)
     print("wrote shard_work_division.json")

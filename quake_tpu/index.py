@@ -412,20 +412,25 @@ class QuakeIndex:
         # machinery costs scale with the FULL candidate width M (e.g. 256
         # at the default initial_search_fraction), but plans rarely extend
         # past a few tens of ranks — measured 11.7 ms vs 7.5 ms fixed at
-        # B=4096 with M=256 (aps_oneshot_ab). Cap the width at 4x the
-        # validation sample's MEAN plan (pow2-bucketed, floor 16) — max-
-        # and p98-based caps never engaged: a few resident queries with a
-        # large predicted radius plan the full width — then re-validate
-        # ONCE with the cap applied; clipped queries still scan the whole
-        # capped prefix, and the cap is dropped if capped recall misses
-        # the goal.
+        # B=4096 with M=256 (aps_oneshot_ab). Candidate caps: pow2(2x and
+        # 4x the validation sample's MEAN plan) — max- and p98-based caps
+        # never engaged (a few resident queries with a large predicted
+        # radius plan the full width), and the 4x cap alone barely moved
+        # the scan cost. Each candidate is re-validated with the cap
+        # applied (tightest first); clipped queries still scan the whole
+        # capped prefix, and the cap is dropped entirely if no candidate
+        # meets the goal.
         sc_np = np.asarray(sc)
-        mcap = int(max(16, next_pow2(int(
-            4 * max(float(sc_np.mean()), 1.0)))))
+        mean_plan = max(float(sc_np.mean()), 1.0)
         self.aps_oneshot_mcap = 0
-        if mcap < pids.shape[1]:
-            ra = float(self.aps_radius_ab[kc - 1, 0])
-            rb = float(self.aps_radius_ab[kc - 1, 1])
+        ra = float(self.aps_radius_ab[kc - 1, 0])
+        rb = float(self.aps_radius_ab[kc - 1, 1])
+        cands_m = []
+        for f in (2, 4):
+            m = int(max(16, next_pow2(int(f * mean_plan))))
+            if m < pids.shape[1] and m not in cands_m:
+                cands_m.append(m)
+        for mcap in cands_m:
             _, ids32, _ = coordinator.aps_search_oneshot(
                 state.codes, state.ids, state.centroids, q,
                 pids[:, :mcap],
@@ -441,6 +446,7 @@ class QuakeIndex:
             got = _drop_self(np.asarray(ids32).astype(np.int64), self_ids, k)
             if compute_recall(got, gt, k) >= goal:
                 self.aps_oneshot_mcap = mcap
+                break
 
     def shard(self, n_devices: int):
         """Shard the partition store over a device mesh (the analog of the
