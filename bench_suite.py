@@ -218,9 +218,13 @@ def run_10m():
     from quake_tpu.coordinator import flat_search
     from quake_tpu.utils import compute_recall
 
-    N, D, NLIST, K, B = 10_000_000, 128, 4096, 10, 4096
+    # nlist=2048 since session D (nlist_sweep3 generalizes: the
+    # pair-proportional machinery scales with B*nprobe, so coarser cells at
+    # ~equal scan fraction win; round-3 pre-D used nlist=4096/nprobe=24).
+    # Serving stack: bf16 + dequantized scores + B=8192.
+    N, D, NLIST, K, B = 10_000_000, 128, 2048, 10, 8192
     x = make_manifold(N, D, 4096, seed=1)
-    queries = make_manifold(B * 2, D, 4096, seed=7)
+    queries = make_manifold(B, D, 4096, seed=7)
     t0 = time.perf_counter()
     idx = QuakeIndex()
     idx.build(x, np.arange(N, dtype=np.int64),
@@ -232,13 +236,15 @@ def run_10m():
                           K, "l2")
     gt = np.asarray(gt32).astype(np.int64)
     chosen, recall = NLIST, 0.0
-    for nprobe in (24, 32, 48, 64, 96):
-        r = idx.search(queries[:512], SearchParams(k=K, nprobe=nprobe))
+    for nprobe in (12, 14, 16, 20, 24, 32, 48):
+        r = idx.search(queries[:512], SearchParams(k=K, nprobe=nprobe,
+                                                   exact_distances=False))
         recall = compute_recall(r.ids, gt, K)
         if recall >= 0.90:
             chosen = nprobe
             break
-    qps = _qps(idx, queries, SearchParams(k=K, nprobe=chosen), B, 2)
+    qps = _qps(idx, queries,
+               SearchParams(k=K, nprobe=chosen, exact_distances=False), B, 1)
     return {
         "metric": (
             f"10M x128 bf16 single chip (nlist={idx.nlist()}, C={idx.store.C}, "

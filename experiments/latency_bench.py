@@ -109,6 +109,20 @@ def main():
             aps_chunk_size=4,
         ),
     )
+    time_mode(
+        "aps_planned",
+        SearchParams(k=10, recall_target=args.target,
+                     initial_search_fraction=0.125, aps_mode="planned"),
+    )
+    if idx.aps_radius_ab is not None:
+        # Oneshot (predicted-radius plan, one scan): the latency-regime
+        # candidate for APS — no prologue, no loop, parent ranking capped
+        # at the calibrated width.
+        time_mode(
+            "aps_oneshot",
+            SearchParams(k=10, recall_target=args.target,
+                         initial_search_fraction=0.125, aps_mode="oneshot"),
+        )
     with open(args.out, "w") as f:
         json.dump(results, f, indent=2)
     print(f"wrote {args.out}")

@@ -425,9 +425,14 @@ class QuakeIndex:
         self.aps_oneshot_mcap = 0
         ra = float(self.aps_radius_ab[kc - 1, 0])
         rb = float(self.aps_radius_ab[kc - 1, 1])
+        # Width candidates bucket to multiples of 8 (not pow2): the masked
+        # scan + model cost is ~width-proportional (aps_decomp: width
+        # 16/32/64 -> 5.2/7.7/11.9 ms at B=4096), so a 64 bucket where 40
+        # suffices wastes most of the cap's win. One index serves one
+        # width, so any static value bounds recompilation equally.
         cands_m = []
-        for f in (2, 4):
-            m = int(max(16, next_pow2(int(f * mean_plan))))
+        for f in (1.25, 2.0, 4.0):
+            m = int(max(16, -(-int(f * mean_plan) // 8) * 8))
             if m < pids.shape[1] and m not in cands_m:
                 cands_m.append(m)
         for mcap in cands_m:
@@ -692,7 +697,25 @@ class QuakeIndex:
 
         # Parent search for candidate partitions (query_coordinator.cpp:628-646).
         use_aps = sp.recall_target > 0.0
+        aps_mode = sp.aps_mode
         if use_aps:
+            if aps_mode == "auto":
+                # Production batches: oneshot (ONE scan, predictor-planned)
+                # when the build-time calibration validated its radius
+                # model — 11.7-12.5 ms vs planned 16.8-17.2 / loop 18.1-18.5
+                # at B=4096 target 0.9, at HIGHER achieved recall
+                # (aps_oneshot_ab). Otherwise planned (two-phase, phase-1
+                # feedback) at batch, loop below it.
+                if int(q.shape[0]) >= 1024:
+                    aps_mode = ("oneshot" if self.aps_radius_ab is not None
+                                else "planned")
+                else:
+                    aps_mode = "loop"
+            if aps_mode == "oneshot" and self.aps_radius_ab is None:
+                # Radius predictor not calibrated (spilled store, tiny
+                # corpus, or calibrate_aps=False) — the planned path is the
+                # closest adherent strategy.
+                aps_mode = "planned"
             # Floor: the candidate set must be able to hold ~2k results —
             # initial_search_fraction alone under-provisions when k is
             # large relative to partition sizes (e.g. a mid-level parent
@@ -702,6 +725,15 @@ class QuakeIndex:
             parent_k = max(
                 int(self.nlist() * sp.initial_search_fraction), min_parts, 1
             )
+            if aps_mode == "oneshot" and self.aps_oneshot_mcap:
+                # The calibrated width cap bounds how far any plan reaches,
+                # so the parent ranking itself can stop there: the
+                # approx-top-k candidate selection cost grows steeply with
+                # k (k=256 at the default fraction measured ~4.8 ms of the
+                # 11.8 ms oneshot step at B=4096 — aps_oneshot_ab), and
+                # capping it is where the width cap actually pays.
+                parent_k = max(min(parent_k, self.aps_oneshot_mcap),
+                               min_parts, 1)
         else:
             parent_k = min(int(sp.nprobe), self.nlist())
         parent_k_padded = min(next_pow2(parent_k, self._nprobe_bucket), self.parent_ntotal())
@@ -770,18 +802,8 @@ class QuakeIndex:
             # merges can carry both copies of a neighbor, and the 2k-th
             # distance makes the recall model conservative.
             k_eff = 2 * k if self.spill else k
-            mode = sp.aps_mode
-            if mode == "auto":
-                # Production batches: the planned path pays the grouped
-                # machinery twice total instead of once per while-loop
-                # chunk (see coordinator.aps_search_planned).
-                mode = ("planned" if int(q.shape[0]) >= 1024
-                        else "loop")
-            if mode == "oneshot" and self.aps_radius_ab is None:
-                # Radius predictor not calibrated (spilled store, tiny
-                # corpus, or calibrate_aps=False) — the planned path is the
-                # closest adherent strategy.
-                mode = "planned"
+            mode = aps_mode  # resolved before the parent search (oneshot
+            # caps the parent ranking k at the calibrated width)
             if self.mesh is not None:
                 from quake_tpu.parallel.sharded import (
                     sharded_aps_search,

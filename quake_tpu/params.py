@@ -175,17 +175,18 @@ class SearchParams:
     # In planned mode this sets the PROLOGUE size (chunk0) instead; auto
     # sizes it to the loop's first chunk (index._planned_chunk0).
     aps_chunk_size: int = 0
-    # APS execution strategy: "auto" picks "planned" (prologue scan ->
-    # one-shot per-query probe plan -> single masked tail scan; two fused
-    # programs, no while loop) at production batch, and "loop"
-    # (lax.while_loop over ranked chunks — the reference's polling
-    # semantics, query_coordinator.cpp:383-430) otherwise. Explicit values
-    # pin the strategy. "oneshot" drops the prologue too: the k-th-neighbor
-    # radius is PREDICTED from the nearest-centroid distance via the
-    # build-time-calibrated model (index.calibrate_aps stage 3) and the
-    # whole plan is scanned in ONE pass — the cheapest mode; adherence
-    # rests on the calibrated predictor (falls back to "planned" when
-    # uncalibrated).
+    # APS execution strategy. "oneshot": the k-th-neighbor radius is
+    # PREDICTED from the nearest-centroid distance via the build-time-
+    # calibrated model (index.calibrate_aps stage 3) and the whole plan is
+    # scanned in ONE pass — the cheapest mode (1.4x faster than planned at
+    # production batch); adherence rests on the calibrated, end-to-end-
+    # validated predictor. "planned": prologue scan -> per-query probe
+    # plan -> single masked tail scan (phase-1 feedback: can only overscan
+    # relative to the loop). "loop": lax.while_loop over ranked chunks —
+    # the reference's polling semantics (query_coordinator.cpp:383-430).
+    # "auto" picks oneshot at production batch when calibrated (falling
+    # back to planned), loop at small batch. Explicit values pin the
+    # strategy.
     aps_mode: str = "auto"
     # Planned mode only: extra ranks granted to every query whose plan
     # extends past the prologue scan. The recall model is most optimistic
