@@ -240,6 +240,55 @@ def test_aps_oneshot_mode_adherence(tmp_path):
         assert compute_recall(res2.ids, gt, 10) >= 0.85
 
 
+def test_aps_auto_mode_selection(monkeypatch):
+    """aps_mode="auto" routes to oneshot at production batch when the
+    radius predictor calibrated, to planned when it did not, and to the
+    loop at small batch (observed via coordinator call counts)."""
+    from quake_tpu import IndexBuildParams, QuakeIndex, SearchParams
+    from quake_tpu import coordinator
+
+    rng = np.random.default_rng(5)
+    centers = rng.standard_normal((32, 16)).astype(np.float32) * 6.0
+    x = (centers[rng.integers(0, 32, 12_000)]
+         + rng.standard_normal((12_000, 16)).astype(np.float32))
+    idx = QuakeIndex()
+    idx.build(x, np.arange(12_000, dtype=np.int64), IndexBuildParams(nlist=32))
+
+    calls = {"oneshot": 0, "planned": 0, "loop": 0}
+    real_one, real_plan, real_loop = (coordinator.aps_search_oneshot,
+                                      coordinator.aps_search_planned,
+                                      coordinator.aps_search)
+
+    def wrap(name, fn):
+        def inner(*a, **kw):
+            calls[name] += 1
+            return fn(*a, **kw)
+        return inner
+
+    monkeypatch.setattr(coordinator, "aps_search_oneshot",
+                        wrap("oneshot", real_one))
+    monkeypatch.setattr(coordinator, "aps_search_planned",
+                        wrap("planned", real_plan))
+    monkeypatch.setattr(coordinator, "aps_search", wrap("loop", real_loop))
+
+    qbig = (centers[rng.integers(0, 32, 1024)]
+            + rng.standard_normal((1024, 16)).astype(np.float32))
+    sp = SearchParams(k=10, recall_target=0.9, initial_search_fraction=0.5)
+    idx.search(qbig, sp)
+    if idx.aps_radius_ab is not None:
+        assert calls["oneshot"] == 1 and calls["planned"] == 0
+    else:
+        assert calls["planned"] == 1 and calls["oneshot"] == 0
+
+    idx.search(qbig[:16], sp)  # small batch -> loop
+    assert calls["loop"] == 1
+
+    # uncalibrated index at batch -> planned
+    idx.aps_radius_ab = None
+    idx.search(qbig, sp)
+    assert calls["planned"] >= 1
+
+
 def test_effective_dimension():
     """Participation-ratio dimension: ~ambient for isotropic data, ~intrinsic
     for manifold data (drives the APS cap-volume model)."""
