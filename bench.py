@@ -68,8 +68,14 @@ def main():
     niter = int(os.environ.get("QUAKE_BENCH_NITER", 15))
     t0 = time.perf_counter()
     idx = QuakeIndex()
+    # calibrate_aps=False: the headline measures fixed-nprobe serving; the
+    # APS calibration (dimension sweep + gamma + the round-3 oneshot
+    # radius predictor) costs several remote-compile minutes per build and
+    # is exercised by the APS benches (aps_oneshot_ab, bench_suite)
+    # instead.
     idx.build(x, ids, IndexBuildParams(nlist=NLIST, metric="l2",
-                                       precision=precision, niter=niter))
+                                       precision=precision, niter=niter,
+                                       calibrate_aps=False))
     build_s = time.perf_counter() - t0
 
     # Exact ground truth on-device over the ORIGINAL f32 vectors (not the

@@ -474,8 +474,15 @@ def grouped_scan(codes, ids, sizes, norms, q, pids, k: int, metric: str,
     kernel: "xla" (chunked lax.map — any platform), "v2" (whole-slab Pallas,
     id-tie-break selection), "v3" (slot selection + cached norms + size
     masking), "v3p" (float-packed selection + exact rescore), "v4" (size-
-    aware chunked v3p + ghost-skip; the fastest measured on v5e; optional
-    "v4cCT[gGPB]" spelling pins the chunk/groups-per-step, e.g. "v4c512g8").
+    aware chunked v3p + ghost-skip; optional "v4cCT[gGPB]" spelling pins
+    the chunk/groups-per-step, e.g. "v4c512g8"), "v7"/"v8"/"v9" (column-
+    folded / global-scale-quantized / joint-round kernels), "v10" (v9 +
+    scatter epilogue), "v11" (v9 + sorted-placement epilogue; the
+    production default on TPU).
+
+    dense: promise that EVERY pid is valid (fixed-nprobe semantics). The
+    v11 sorted placement requires it — with dense=False (APS masked
+    tails), a v11 request silently rides the v10 scatter epilogue instead.
     All return (scores [B,k], ids [B,k], scanned [B]).
     """
     if kernel.startswith("v5") or kernel.startswith("v6"):
