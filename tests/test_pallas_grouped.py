@@ -437,6 +437,42 @@ def test_v7_dedup_spilled():
         assert len(valid) == len(set(valid.tolist()))
 
 
+def test_v11_duplicate_pids_dense():
+    """v11 with duplicate pids inside a probe row (legal under the grouped
+    contract even though parent ranking never emits them): each duplicate
+    pair owns its own kernel row, the sorted placement keeps both, and the
+    per-query ascending pid sort attributes winners correctly — results
+    must match the xla oracle on the same probe lists."""
+    from quake_tpu.ops.grouped import grouped_scan_xla
+    from quake_tpu.ops.pallas_grouped import grouped_scan_pallas_v11
+
+    rng = np.random.default_rng(23)
+    P, C, D, B, nprobe, k, qt = 8, 128, 16, 12, 4, 5, 8
+    codes = rng.standard_normal((P, C, D)).astype(np.float32)
+    ids = np.arange(P * C, dtype=np.int32).reshape(P, C)
+    sizes = np.full(P, C, np.int32)
+    norms = (codes ** 2).sum(axis=2)
+    q = rng.standard_normal((B, D)).astype(np.float32)
+    pids = np.stack([rng.permutation(P)[:nprobe] for _ in range(B)]).astype(np.int32)
+    pids[:, 1] = pids[:, 0]  # every query probes its first partition twice
+
+    s1, i1, n1 = grouped_scan_xla(
+        jnp.asarray(codes), jnp.asarray(ids), jnp.asarray(q),
+        jnp.asarray(pids), k, "l2", qt=qt, group_chunk=4)
+    s2, i2, n2 = grouped_scan_pallas_v11(
+        jnp.asarray(codes), jnp.asarray(ids), jnp.asarray(sizes),
+        jnp.asarray(norms), jnp.asarray(q), jnp.asarray(pids), k, "l2",
+        qt=qt, gpb=2, interpret=True)
+    np.testing.assert_array_equal(np.asarray(n1), np.asarray(n2))
+    i1, i2 = np.asarray(i1), np.asarray(i2)
+    for b in range(B):
+        # Duplicate probes legitimately surface duplicate ids (no dedup
+        # requested), so compare distinct-id sets, tolerating one
+        # quantization-tie swap.
+        s1b, s2b = set(i1[b].tolist()), set(i2[b].tolist())
+        assert len(s1b & s2b) >= len(s1b) - 1, (b, i1[b], i2[b])
+
+
 @pytest.mark.parametrize("variant_name", ["v10", "v11"])
 def test_v10_dedup_spilled(variant_name):
     """v10 (scatter epilogue) / v11 (sorted placement) with dedup:
