@@ -560,6 +560,8 @@ class QuakeIndex:
                     pstate.codes, pstate.ids,
                     q, k=k, nprobe=parent_k, metric=self.metric,
                     qt=qt, group_chunk=group_chunk, dedup=self.spill,
+                    kernel=self._grouped_kernel(),
+                    exact=bool(sp.exact_distances),
                 )
             else:
                 scores, ids32, dists, scanned, pids = coordinator.fused_ivf_search(

@@ -393,7 +393,8 @@ def sharded_kmeans_step(mesh, x_sharded, centroids, metric: str = "l2"):
 def sharded_fused_search(mesh, codes, ids, norms, parent_codes, parent_ids, q,
                          k: int, nprobe: int, metric: str,
                          qt: int = 64, group_chunk: int = 64,
-                         dedup: bool = False, shard_parents: bool = True):
+                         dedup: bool = False, shard_parents: bool = True,
+                         kernel: str = "xla", exact: bool = True):
     """End-to-end fixed-nprobe search over the mesh as one program:
     SHARDED parent centroid scan -> per-shard partition-major grouped scan
     of the local slab slice -> all_gather top-k merge -> distances.
@@ -411,8 +412,16 @@ def sharded_fused_search(mesh, codes, ids, norms, parent_codes, parent_ids, q,
     ideal 0.125x, experiments/shard_work_division.py); this removes the
     parent's share of it. Reference analog: jobs, not coordination, dominate
     its worker pool (query_coordinator.cpp:243-469).
+
+    kernel/exact: the local scan backend (coordinator.grouped_scan names) —
+    on a real slice pass the index's Pallas kernel ("v11g4"); local slab
+    VALIDITY is derived in-shard (a slot-sharded slice of the compact
+    prefix is itself a prefix, so sizes_l = count of non-negative local
+    ids). Caveat: the Pallas fold kernels need the LOCAL capacity C/ndev
+    to be a multiple of 128; the dispatch falls back to v3pn otherwise
+    (store bucketing rounds C to 128, not 128*ndev).
     """
-    from quake_tpu.ops.grouped import grouped_scan_xla
+    from quake_tpu.coordinator import grouped_scan
     from quake_tpu.ops.scan import scores_to_distances
 
     ndev = mesh.devices.size
@@ -435,9 +444,10 @@ def sharded_fused_search(mesh, codes, ids, norms, parent_codes, parent_ids, q,
         else:
             _, probe = flat_scan(q_l, pcodes_l, pids_l, nprobe, metric,
                                  approx=True)
-        s, i, scanned = grouped_scan_xla(
-            codes_l, ids_l, q_l, probe, k, metric, qt=qt,
-            group_chunk=group_chunk, norms=norms_l, dedup=dedup,
+        sizes_l = jnp.sum((ids_l >= 0).astype(jnp.int32), axis=1)
+        s, i, scanned = grouped_scan(
+            codes_l, ids_l, sizes_l, norms_l, q_l, probe, k, metric,
+            qt, group_chunk, kernel, dedup=dedup, exact=exact, dense=True,
         )
         ms, mi = _merge_gathered(s, i, k, SHARD_AXIS, dedup=dedup)
         return ms, mi, scores_to_distances(ms, mi, metric), scanned, probe
