@@ -827,6 +827,7 @@ class QuakeIndex:
                         gamma=(jnp.float32(self.aps_gamma)
                                if self.aps_gamma != 1.0 else None),
                         plan_margin=int(sp.aps_plan_margin),
+                        norms=state.norms, kernel=self._grouped_kernel(),
                     )
                 elif mode == "planned":
                     scores, ids32, scanned = sharded_aps_search_planned(
@@ -844,6 +845,7 @@ class QuakeIndex:
                         gamma=(jnp.float32(self.aps_gamma)
                                if self.aps_gamma != 1.0 else None),
                         plan_margin=int(sp.aps_plan_margin),
+                        norms=state.norms, kernel=self._grouped_kernel(),
                     )
                 else:
                     scores, ids32, scanned = sharded_aps_search(
@@ -857,6 +859,7 @@ class QuakeIndex:
                         table=table, qt=qt, group_chunk=group_chunk,
                         gamma=(jnp.float32(self.aps_gamma)
                                if self.aps_gamma != 1.0 else None),
+                        norms=state.norms, kernel=self._grouped_kernel(),
                     )
                 if self.spill:
                     from quake_tpu.ops.scan import dedup_topk

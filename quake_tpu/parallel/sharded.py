@@ -126,12 +126,48 @@ def sharded_flat_search(mesh, codes, ids, q, k: int, metric: str,
     return fn(codes, ids, q)
 
 
+def _local_grouped_chunk(codes_l, ids_l, norms_l, q_l, k, metric, qt,
+                         group_chunk, kernel, strategy):
+    """Local masked grouped scan + cross-device top-k merge — the per-chunk
+    scan closure shared by the sharded APS paths. kernel: any
+    coordinator.grouped_scan backend; the Pallas kernels need norms (pass
+    the sharded StoreState.norms) and derive local slab validity in-shard
+    (a sharded slice of the compact prefix is itself a prefix). APS chunk
+    matrices are masked, so the dispatch keeps dense=False (v11 requests
+    ride the v10 scatter epilogue)."""
+    from quake_tpu.coordinator import grouped_scan
+
+    sizes_l = jnp.sum((ids_l >= 0).astype(jnp.int32), axis=1)
+
+    if strategy == "slot":
+
+        def scan_chunk(eff):
+            s, i, _ = grouped_scan(codes_l, ids_l, sizes_l, norms_l, q_l,
+                                   eff, k, metric, qt, group_chunk, kernel)
+            return _merge_gathered(s, i, k, SHARD_AXIS)
+
+    else:
+
+        def scan_chunk(eff):
+            dev = lax.axis_index(SHARD_AXIS)
+            p_local = codes_l.shape[0]
+            local_idx = eff - dev.astype(jnp.int32) * p_local
+            owned = (eff >= 0) & (local_idx >= 0) & (local_idx < p_local)
+            leff = jnp.where(owned, local_idx, -1)
+            s, i, _ = grouped_scan(codes_l, ids_l, sizes_l, norms_l, q_l,
+                                   leff, k, metric, qt, group_chunk, kernel)
+            return _merge_gathered(s, i, k, SHARD_AXIS)
+
+    return scan_chunk
+
+
 def sharded_aps_search(mesh, codes, ids, centroids, q, pids, recall_target,
                        recompute_threshold, k: int, metric: str,
                        dimension: int, chunk: int = 4,
                        use_precomputed: bool = True, table=None,
                        qt: int = 32, group_chunk: int = 64,
-                       strategy: str | None = None, gamma=None):
+                       strategy: str | None = None, gamma=None,
+                       norms=None, kernel: str = "xla"):
     """Recall-target (APS) search over sharded slabs.
 
     The whole APS while-loop runs inside shard_map: each chunk's grouped
@@ -157,33 +193,20 @@ def sharded_aps_search(mesh, codes, ids, centroids, q, pids, recall_target,
     if table is None:
         table = jnp.zeros((2, 1), jnp.float32)  # dummy; unused when not precomputed
 
-    def local(codes_l, ids_l, cents, q_l, pids_l, table_l):
+    has_norms = norms is not None
+
+    def local(codes_l, ids_l, *rest):
+        if has_norms:
+            norms_l, cents, q_l, pids_l, table_l = rest
+        else:
+            norms_l = None
+            cents, q_l, pids_l, table_l = rest
         boundary, valid, _ = aps_setup(
             q_l, cents, pids_l, dimension, use_precomputed=False, table=None
         )
-
-        if strategy == "slot":
-
-            def scan_chunk(eff):
-                s, i, _ = grouped_scan_xla(
-                    codes_l, ids_l, q_l, eff, k, metric,
-                    qt=qt, group_chunk=group_chunk,
-                )
-                return _merge_gathered(s, i, k, SHARD_AXIS)
-
-        else:
-
-            def scan_chunk(eff):
-                dev = lax.axis_index(SHARD_AXIS)
-                p_local = codes_l.shape[0]
-                local_idx = eff - dev.astype(jnp.int32) * p_local
-                owned = (eff >= 0) & (local_idx >= 0) & (local_idx < p_local)
-                leff = jnp.where(owned, local_idx, -1)
-                s, i, _ = grouped_scan_xla(
-                    codes_l, ids_l, q_l, leff, k, metric,
-                    qt=qt, group_chunk=group_chunk,
-                )
-                return _merge_gathered(s, i, k, SHARD_AXIS)
+        scan_chunk = _local_grouped_chunk(
+            codes_l, ids_l, norms_l, q_l, k, metric, qt, group_chunk,
+            kernel, strategy)
 
         return aps_loop(
             q_l, pids_l, boundary, valid, table_l, recall_target,
@@ -195,14 +218,16 @@ def sharded_aps_search(mesh, codes, ids, centroids, q, pids, recall_target,
         store_spec = P(None, SHARD_AXIS)
     else:
         store_spec = P(SHARD_AXIS)
+    norm_spec = (store_spec,) if has_norms else ()
+    norm_arg = (norms,) if has_norms else ()
     fn = jax.shard_map(
         local,
         mesh=mesh,
-        in_specs=(store_spec, store_spec, P(), P(), P(), P()),
+        in_specs=(store_spec, store_spec) + norm_spec + (P(), P(), P(), P()),
         out_specs=(P(), P(), P()),
         check_vma=False,
     )
-    return fn(codes, ids, centroids, q, pids, table)
+    return fn(codes, ids, *norm_arg, centroids, q, pids, table)
 
 
 def sharded_aps_search_planned(mesh, codes, ids, centroids, q, pids,
@@ -211,14 +236,14 @@ def sharded_aps_search_planned(mesh, codes, ids, centroids, q, pids,
                                use_precomputed: bool = True, table=None,
                                qt: int = 32, group_chunk: int = 64,
                                strategy: str | None = None, gamma=None,
-                               plan_margin: int = 0):
+                               plan_margin: int = 0,
+                               norms=None, kernel: str = "xla"):
     """Planned (two-phase) APS over the mesh: prologue scan -> replicated
     per-query probe plan -> one masked tail scan (see
     coordinator.aps_search_planned). Both scans are local + all_gather
     merges, and the plan is computed from replicated-identical merged
     state, so every device executes the same tail mask."""
     from quake_tpu.coordinator import aps_plan, aps_setup
-    from quake_tpu.ops.grouped import grouped_scan_xla
 
     if strategy is None:
         strategy = "slot" if _detect_slot_sharded(codes) else "partition"
@@ -229,33 +254,20 @@ def sharded_aps_search_planned(mesh, codes, ids, centroids, q, pids,
     if table is None:
         table = jnp.zeros((2, 1), jnp.float32)
 
-    def local(codes_l, ids_l, cents, q_l, pids_l, table_l):
+    has_norms = norms is not None
+
+    def local(codes_l, ids_l, *rest):
+        if has_norms:
+            norms_l, cents, q_l, pids_l, table_l = rest
+        else:
+            norms_l = None
+            cents, q_l, pids_l, table_l = rest
         boundary, valid, _ = aps_setup(
             q_l, cents, pids_l, dimension, use_precomputed=False, table=None
         )
-
-        if strategy == "slot":
-
-            def scan_chunk(eff):
-                s, i, _ = grouped_scan_xla(
-                    codes_l, ids_l, q_l, eff, k, metric,
-                    qt=qt, group_chunk=group_chunk,
-                )
-                return _merge_gathered(s, i, k, SHARD_AXIS)
-
-        else:
-
-            def scan_chunk(eff):
-                dev = lax.axis_index(SHARD_AXIS)
-                p_local = codes_l.shape[0]
-                local_idx = eff - dev.astype(jnp.int32) * p_local
-                owned = (eff >= 0) & (local_idx >= 0) & (local_idx < p_local)
-                leff = jnp.where(owned, local_idx, -1)
-                s, i, _ = grouped_scan_xla(
-                    codes_l, ids_l, q_l, leff, k, metric,
-                    qt=qt, group_chunk=group_chunk,
-                )
-                return _merge_gathered(s, i, k, SHARD_AXIS)
+        scan_chunk = _local_grouped_chunk(
+            codes_l, ids_l, norms_l, q_l, k, metric, qt, group_chunk,
+            kernel, strategy)
 
         return aps_plan(
             q_l, pids_l, boundary, valid, table_l, recall_target, k, metric,
@@ -267,14 +279,16 @@ def sharded_aps_search_planned(mesh, codes, ids, centroids, q, pids,
         store_spec = P(None, SHARD_AXIS)
     else:
         store_spec = P(SHARD_AXIS)
+    norm_spec = (store_spec,) if has_norms else ()
+    norm_arg = (norms,) if has_norms else ()
     fn = jax.shard_map(
         local,
         mesh=mesh,
-        in_specs=(store_spec, store_spec, P(), P(), P(), P()),
+        in_specs=(store_spec, store_spec) + norm_spec + (P(), P(), P(), P()),
         out_specs=(P(), P(), P()),
         check_vma=False,
     )
-    return fn(codes, ids, centroids, q, pids, table)
+    return fn(codes, ids, *norm_arg, centroids, q, pids, table)
 
 
 def sharded_aps_search_oneshot(mesh, codes, ids, centroids, q, pids,
@@ -283,13 +297,13 @@ def sharded_aps_search_oneshot(mesh, codes, ids, centroids, q, pids,
                                use_precomputed: bool = True, table=None,
                                qt: int = 32, group_chunk: int = 64,
                                strategy: str | None = None, gamma=None,
-                               plan_margin: int = 4):
+                               plan_margin: int = 4,
+                               norms=None, kernel: str = "xla"):
     """Oneshot APS over the mesh: predicted-radius probe plan -> ONE masked
     scan (see coordinator.aps_search_oneshot). The plan is computed from
     replicated inputs (centroids, pids, the calibrated radius model), so
     every device masks identically; the scan is local + all_gather merge."""
     from quake_tpu.coordinator import aps_oneshot, aps_setup
-    from quake_tpu.ops.grouped import grouped_scan_xla
 
     if strategy is None:
         strategy = "slot" if _detect_slot_sharded(codes) else "partition"
@@ -300,33 +314,20 @@ def sharded_aps_search_oneshot(mesh, codes, ids, centroids, q, pids,
     if table is None:
         table = jnp.zeros((2, 1), jnp.float32)
 
-    def local(codes_l, ids_l, cents, q_l, pids_l, table_l):
+    has_norms = norms is not None
+
+    def local(codes_l, ids_l, *rest):
+        if has_norms:
+            norms_l, cents, q_l, pids_l, table_l = rest
+        else:
+            norms_l = None
+            cents, q_l, pids_l, table_l = rest
         boundary, valid, _ = aps_setup(
             q_l, cents, pids_l, dimension, use_precomputed=False, table=None
         )
-
-        if strategy == "slot":
-
-            def scan_chunk(eff):
-                s, i, _ = grouped_scan_xla(
-                    codes_l, ids_l, q_l, eff, k, metric,
-                    qt=qt, group_chunk=group_chunk,
-                )
-                return _merge_gathered(s, i, k, SHARD_AXIS)
-
-        else:
-
-            def scan_chunk(eff):
-                dev = lax.axis_index(SHARD_AXIS)
-                p_local = codes_l.shape[0]
-                local_idx = eff - dev.astype(jnp.int32) * p_local
-                owned = (eff >= 0) & (local_idx >= 0) & (local_idx < p_local)
-                leff = jnp.where(owned, local_idx, -1)
-                s, i, _ = grouped_scan_xla(
-                    codes_l, ids_l, q_l, leff, k, metric,
-                    qt=qt, group_chunk=group_chunk,
-                )
-                return _merge_gathered(s, i, k, SHARD_AXIS)
+        scan_chunk = _local_grouped_chunk(
+            codes_l, ids_l, norms_l, q_l, k, metric, qt, group_chunk,
+            kernel, strategy)
 
         return aps_oneshot(
             q_l, pids_l, boundary, valid, table_l, recall_target, k, metric,
@@ -338,14 +339,16 @@ def sharded_aps_search_oneshot(mesh, codes, ids, centroids, q, pids,
         store_spec = P(None, SHARD_AXIS)
     else:
         store_spec = P(SHARD_AXIS)
+    norm_spec = (store_spec,) if has_norms else ()
+    norm_arg = (norms,) if has_norms else ()
     fn = jax.shard_map(
         local,
         mesh=mesh,
-        in_specs=(store_spec, store_spec, P(), P(), P(), P()),
+        in_specs=(store_spec, store_spec) + norm_spec + (P(), P(), P(), P()),
         out_specs=(P(), P(), P()),
         check_vma=False,
     )
-    return fn(codes, ids, centroids, q, pids, table)
+    return fn(codes, ids, *norm_arg, centroids, q, pids, table)
 
 
 def sharded_kmeans_step(mesh, x_sharded, centroids, metric: str = "l2"):
