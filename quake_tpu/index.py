@@ -156,8 +156,17 @@ class QuakeIndex:
                 _, spill_np = soar_assign(
                     x, centroids_np, self.soar_lambda, primary=assigns_np
                 )
+            # Plan the shard count BEFORE sizing the store: slot sharding
+            # slices the capacity axis, and the Pallas fold kernels need
+            # each local slice to stay a 128-multiple (see
+            # init_from_assignments.cap_multiple).
+            n_shards_plan = bp.num_shards
+            if (n_shards_plan <= 1 and bp.num_workers > 1
+                    and len(jax.devices()) >= bp.num_workers):
+                n_shards_plan = bp.num_workers
             self.store.init_from_assignments(
-                x, ids, centroids_np, assigns_np, spill_assignments=spill_np
+                x, ids, centroids_np, assigns_np, spill_assignments=spill_np,
+                cap_multiple=128 * max(n_shards_plan, 1),
             )
             timing.assign_time_us = _now_us() - t_assign
 

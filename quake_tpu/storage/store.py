@@ -299,10 +299,16 @@ class PartitionStore:
     # -- construction --------------------------------------------------------
 
     def init_from_assignments(self, x, vids, centroids, assignments,
-                              spill_assignments=None):
+                              spill_assignments=None, cap_multiple: int = 128):
         """spill_assignments: optional [n] secondary partition per vector
         (SOAR spill) — every vector is stored twice; id_map tracks the
-        primary copy, spill_map the secondary; ntotal stays logical."""
+        primary copy, spill_map the secondary; ntotal stays logical.
+
+        cap_multiple: capacity rounding granularity. Default 128 (one TPU
+        tile row). Sharded builds pass 128 * num_shards so that every
+        device's SLOT-SHARDED slab slice (C / num_shards columns) is
+        itself a 128-multiple — the Pallas fold kernels require it, and
+        otherwise a real slice falls back to the slower v3pn backend."""
         x = np.asarray(x)
         vids_np = to_i64(vids)
         assigns_np = np.asarray(assignments)
@@ -320,7 +326,8 @@ class PartitionStore:
         # mean, and C directly multiplies every scan's HBM traffic and VPU
         # lane count.
         max_count = int(counts.max(initial=1))
-        C = max(MIN_CAPACITY, -(-max_count // 128) * 128)
+        cm = max(128, -(-int(cap_multiple) // 128) * 128)
+        C = -(-max(MIN_CAPACITY, max_count) // cm) * cm
         # Partition-axis padding: tight 128-granularity (P directly scales
         # the grouped scan's group count; pow2 doubling wastes up to 2x).
         # Growth happens on demand in ensure_rows, also at 128 granularity.

@@ -40,3 +40,15 @@ def small_data():
     q = make_data(100, 32, seed=2)
     ids = np.arange(10_000, dtype=np.int64)
     return x, ids, q
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _clear_jax_caches_per_module():
+    """Bound the single-process compile-cache footprint: the suite compiles
+    hundreds of programs across modules, and the accumulated XLA:CPU state
+    reproducibly segfaulted a later (tiny) compile inside
+    tests/test_workload.py once the suite grew past ~200 cases. Programs
+    are overwhelmingly module-local, so clearing between modules costs
+    little and keeps the native compiler state small."""
+    yield
+    jax.clear_caches()
