@@ -240,6 +240,31 @@ def test_aps_oneshot_mode_adherence(tmp_path):
         assert compute_recall(res2.ids, gt, 10) >= 0.85
 
 
+def test_aps_oneshot_ip_adherence():
+    """Oneshot APS on a unit-norm IP corpus: the radius predictor runs in
+    the MIPS->L2-reduced space (radius = sqrt(|q|^2 + 1 - 2s)), so the
+    affine fit and the plan must adhere there too (DEEP-like regime)."""
+    from quake_tpu import IndexBuildParams, QuakeIndex, SearchParams
+    from quake_tpu.utils import compute_recall, knn
+
+    rng = np.random.default_rng(11)
+    x = rng.standard_normal((20_000, 32)).astype(np.float32)
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    q = rng.standard_normal((20, 32)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    ids = np.arange(20_000, dtype=np.int64)
+    idx = QuakeIndex()
+    idx.build(x, ids, IndexBuildParams(nlist=200, metric="ip"))
+    gt, _ = knn(q, x, 10, "ip")
+
+    res = idx.search(
+        q, SearchParams(k=10, recall_target=0.9,
+                        initial_search_fraction=0.5, aps_mode="oneshot"))
+    achieved = compute_recall(res.ids, gt, 10)
+    assert achieved >= 0.85, achieved
+    assert res.timing_info.partitions_scanned <= 100
+
+
 def test_aps_auto_mode_selection(monkeypatch):
     """aps_mode="auto" routes to oneshot at production batch when the
     radius predictor calibrated, to planned when it did not, and to the
