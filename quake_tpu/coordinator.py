@@ -561,8 +561,10 @@ def grouped_scan(codes, ids, sizes, norms, q, pids, k: int, metric: str,
 
             rows = -(-group_layout(B, pids.shape[1], codes.shape[0], qt)
                      // gpb) * gpb * qt
+            # >= 32: an all-ones 32-bit valid key could collide with the
+            # 0xFFFFFFFF invalid marker.
             if (max((rows - 1).bit_length(), 1)
-                    + max((B - 1).bit_length(), 1)) > 32:
+                    + max((B - 1).bit_length(), 1)) >= 32:
                 name = "v10"  # sort key would overflow uint32
         fn = {"v7": grouped_scan_pallas_v7,
               "v8": grouped_scan_pallas_v8,

@@ -1652,10 +1652,12 @@ def grouped_scan_pallas_v11(codes, ids, sizes, norms, q, pids, k: int,
     group_pid, qlist, tgt = build_groups_scatter(pids, P, qt)
     G = group_pid.shape[0]
     Gn = -(-G // gpb) * gpb
-    # Sort-key budget: (qs << r_bits) | row must fit uint32.
+    # Sort-key budget: (qs << r_bits) | row must fit uint32 STRICTLY below
+    # the 0xFFFFFFFF invalid marker (at exactly 32 bits an all-ones valid
+    # key could collide with it).
     r_bits = max((Gn * qt - 1).bit_length(), 1)
     qs_bits = max((B - 1).bit_length(), 1)
-    if r_bits + qs_bits > 32:
+    if r_bits + qs_bits >= 32:
         raise ValueError(
             f"v11 sort key overflows uint32 (B={B}, rows={Gn * qt}); use v10")
     gp = jnp.pad(group_pid, (0, Gn - G), constant_values=-1)
