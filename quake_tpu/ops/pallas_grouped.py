@@ -2727,8 +2727,6 @@ def grouped_scan_pallas_multi(codes, ids, q, pids, k: int, metric: str,
     zeroed... instead, to stay exact with arbitrary stale data, the wrapper
     selects k + slack slots in-kernel and filters by id validity.
     """
-    from quake_tpu.ops.scan import scores_to_distances
-
     B, D = q.shape
     P, C, _ = codes.shape
     kk = min(k, C)

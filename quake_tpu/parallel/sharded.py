@@ -182,7 +182,6 @@ def sharded_aps_search(mesh, codes, ids, centroids, q, pids, recall_target,
     (scores [B,k], ids [B,k], scanned [B]).
     """
     from quake_tpu.coordinator import aps_loop, aps_setup
-    from quake_tpu.ops.grouped import grouped_scan_xla
 
     if strategy is None:
         strategy = "slot" if _detect_slot_sharded(codes) else "partition"

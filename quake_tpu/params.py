@@ -188,12 +188,13 @@ class SearchParams:
     # back to planned), loop at small batch. Explicit values pin the
     # strategy.
     aps_mode: str = "auto"
-    # Planned mode only: extra ranks granted to every query whose plan
-    # extends past the prologue scan. The recall model is most optimistic
-    # on exactly those marginal queries (their k-th radius is still
-    # shrinking), and the while-loop hands them a FULL extra chunk (its
-    # implicit adherence cushion) where the exact plan hands them the
-    # model-minimal count. 0 = exact plan.
+    # Planned/oneshot modes: extra ranks granted to planned queries (in
+    # planned mode, those whose plan extends past the prologue scan; in
+    # oneshot mode, every query). The recall model is most optimistic on
+    # exactly the marginal queries (their k-th radius is still shrinking),
+    # and the while-loop hands them a FULL extra chunk (its implicit
+    # adherence cushion) where the exact plan hands them the model-minimal
+    # count. 0 = exact plan.
     aps_plan_margin: int = 4
     # False = serving mode: skip the exact winner-vector rescore in the v10/v11
     # epilogue and return scores dequantized from the kernel's packed key
