@@ -5,14 +5,33 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 vs_baseline is relative to the north-star target of 1M QPS @ 0.9 recall@10
 (BASELINE.json). Data is synthetic-clustered (zero-egress environment) with
 moderate cluster structure so the recall-vs-nprobe curve behaves like SIFT.
+If real SIFT1M fvecs are present (QUAKE_TPU_DATA_DIR), they are used instead
+and the metric line says so (VERDICT r3 #2).
 
 Timing is amortized: the search program is enqueued for all batches and
 synced once — per-dispatch round-trip latency through a remote-attached TPU
 otherwise dominates and measures the tunnel, not the engine.
+
+Tunnel resilience (VERDICT r3 #1): the axon tunnel has died mid-round twice
+(round 3: port 8093 unreachable for hours, burning the round's headline).
+The parent process probes `jax.devices()` in a subprocess with a hard
+timeout, waits with backoff for a bounded window, then runs the benchmark
+body in a watchdog-wrapped child. On child hang/crash it re-probes and
+retries. On an unreachable TPU it prints a distinguishable JSON line
+({"error": "tpu_unreachable", ...}) instead of hanging or stack-tracing.
+
+Knobs (env):
+  QUAKE_BENCH_WAIT_S        total seconds to wait for a reachable TPU (7200)
+  QUAKE_BENCH_PROBE_S       per-probe hard timeout (90)
+  QUAKE_BENCH_CHILD_S       watchdog timeout for one benchmark attempt (2700)
+  QUAKE_BENCH_RETRIES       benchmark attempts before giving up (3)
+  QUAKE_BENCH_NLIST / _BATCH / _PRECISION / _NITER / _EXACT  (bench shape)
 """
 
 import json
 import os
+import subprocess
+import sys
 import time
 
 import numpy as np
@@ -30,15 +49,38 @@ def make_manifold(n, d, n_centers, seed, zdim=16, spread=1.5):
     return (z @ A + 0.05 * r.standard_normal((n, d)).astype(np.float32)).astype(np.float32)
 
 
-def main():
+def load_sift1m():
+    """Real SIFT1M (base + queries) when the offline drop is present, else
+    None. Mirrors the reference's SIFT1M baseline regime
+    (test/python/regression/configs/sift1m_balanced.yaml:14-27)."""
+    try:
+        from quake_tpu.datasets import Sift1m
+
+        ds = Sift1m()
+        if not ds.is_downloaded():
+            return None
+        x, queries, _ = ds.load()
+        return np.asarray(x, np.float32), np.asarray(queries, np.float32)
+    except Exception:
+        return None
+
+
+def run_bench():
     import jax
+
+    if os.environ.get("QUAKE_BENCH_FORCE_CPU") == "1":
+        # Harness smoke tests: the sitecustomize pre-imports jax, so the
+        # env var alone can't force CPU (see tests/conftest.py).
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
     from quake_tpu import IndexBuildParams, QuakeIndex, SearchParams
-    from quake_tpu.coordinator import flat_search
     from quake_tpu.utils import compute_recall
 
-    N, D, K = 1_000_000, 128, 10
+    # QUAKE_BENCH_N: corpus-size override for harness smoke tests (CPU) and
+    # scale variants; the headline shape is the 1M default.
+    N = int(os.environ.get("QUAKE_BENCH_N", 1_000_000))
+    D, K = 128, 10
     # nlist=512 since round 3 (experiments/nlist_sweep3): the grouping /
     # scatter / merge / parent bands and the kernel's selection rounds all
     # scale with n = B*nprobe or with group count — halving nlist at the
@@ -50,9 +92,18 @@ def main():
     BATCH = int(os.environ.get("QUAKE_BENCH_BATCH", 8192))
     NQ_GT, N_BATCHES = 1024, max(16384 // BATCH, 2)
 
-    x = make_manifold(N, D, 4096, seed=1)
+    sift = load_sift1m()
+    if sift is not None:
+        x, q_all = sift
+        N, D = x.shape
+        reps_q = BATCH * N_BATCHES // len(q_all) + 1
+        queries = np.tile(q_all, (reps_q, 1))[: BATCH * N_BATCHES]
+        dataset_tag = "SIFT1M"
+    else:
+        x = make_manifold(N, D, 4096, seed=1)
+        queries = make_manifold(BATCH * N_BATCHES, D, 4096, seed=7)
+        dataset_tag = "synth-manifold"
     ids = np.arange(N, dtype=np.int64)
-    queries = make_manifold(BATCH * N_BATCHES, D, 4096, seed=7)
     q_gt = queries[:NQ_GT]
 
     # bf16 slab storage is the serving default since round 3: the v9 kernel
@@ -77,6 +128,7 @@ def main():
                                        precision=precision, niter=niter,
                                        calibrate_aps=False))
     build_s = time.perf_counter() - t0
+    print(f"[bench] build done in {build_s:.1f}s", file=sys.stderr, flush=True)
 
     # Exact ground truth on-device over the ORIGINAL f32 vectors (not the
     # store's possibly-bf16 slabs — recall must be judged against true f32
@@ -104,6 +156,7 @@ def main():
         res = idx.search(q_gt, SearchParams(k=K, nprobe=nprobe,
                                             exact_distances=exact))
         r = compute_recall(res.ids, gt_ids, K)
+        print(f"[bench] nprobe={nprobe} recall={r:.4f}", file=sys.stderr, flush=True)
         if r >= 0.90:
             chosen = (nprobe, r)
             break
@@ -131,14 +184,134 @@ def main():
     print(
         json.dumps(
             {
-                "metric": f"qps@recall>=0.90@10 (1M x128, nlist={idx.nlist()}, nprobe={nprobe}, recall={recall:.3f}, C={idx.store.C}, build_s={build_s:.1f})",
+                "metric": f"qps@recall>=0.90@10 ({dataset_tag} {N}x{D}, nlist={idx.nlist()}, nprobe={nprobe}, recall={recall:.3f}, C={idx.store.C}, build_s={build_s:.1f})",
                 "value": round(qps, 1),
                 "unit": "qps",
                 "vs_baseline": round(qps / 1_000_000, 4),
             }
-        )
+        ),
+        flush=True,
     )
 
 
+# ---------------------------------------------------------------------------
+# Tunnel-resilient parent harness
+# ---------------------------------------------------------------------------
+
+PROBE_SNIPPET = (
+    "import os, sys, jax; "
+    "os.environ.get('QUAKE_BENCH_FORCE_CPU') == '1' and "
+    "jax.config.update('jax_platforms', 'cpu'); "
+    "d = jax.devices(); sys.exit(0 if len(d) > 0 else 1)"
+)
+
+
+def probe_tpu(timeout_s: float) -> bool:
+    """True iff `jax.devices()` returns within timeout_s in a subprocess.
+    A dead axon tunnel makes backend init hang indefinitely (observed 1h+,
+    round 3), so the probe MUST be out-of-process with a hard timeout."""
+    try:
+        rc = subprocess.run(
+            [sys.executable, "-c", PROBE_SNIPPET],
+            timeout=timeout_s,
+            stdout=subprocess.DEVNULL,
+            stderr=subprocess.DEVNULL,
+        ).returncode
+        return rc == 0
+    except (subprocess.TimeoutExpired, OSError):
+        return False
+
+
+def wait_for_tpu(window_s: float, probe_s: float) -> bool:
+    deadline = time.monotonic() + window_s
+    delay = 30.0
+    first = True
+    while True:
+        t = time.monotonic()
+        if probe_tpu(probe_s):
+            return True
+        if not first:
+            print(f"[bench] TPU unreachable; retrying (deadline in "
+                  f"{deadline - time.monotonic():.0f}s)", file=sys.stderr, flush=True)
+        first = False
+        if time.monotonic() + delay >= deadline:
+            return False
+        # probe itself consumes up to probe_s; keep total cadence ~delay
+        time.sleep(max(0.0, delay - (time.monotonic() - t)))
+        delay = min(delay * 1.5, 300.0)
+
+
+def emit_error(kind: str, detail: str) -> None:
+    print(json.dumps({
+        "error": kind,
+        "detail": detail,
+        "metric": "qps@recall>=0.90@10",
+        "value": 0.0,
+        "unit": "qps",
+        "vs_baseline": 0.0,
+    }), flush=True)
+
+
+def parent_main() -> int:
+    wait_s = float(os.environ.get("QUAKE_BENCH_WAIT_S", 7200))
+    probe_s = float(os.environ.get("QUAKE_BENCH_PROBE_S", 90))
+    child_s = float(os.environ.get("QUAKE_BENCH_CHILD_S", 2700))
+    retries = int(os.environ.get("QUAKE_BENCH_RETRIES", 3))
+    t_start = time.monotonic()
+
+    if not wait_for_tpu(wait_s, probe_s):
+        emit_error("tpu_unreachable",
+                   f"no TPU backend within {wait_s:.0f}s wait window")
+        return 3
+
+    env = dict(os.environ, QUAKE_BENCH_CHILD="1")
+    last_err = ""
+    for attempt in range(1, retries + 1):
+        print(f"[bench] attempt {attempt}/{retries} (watchdog {child_s:.0f}s)",
+              file=sys.stderr, flush=True)
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                timeout=child_s, env=env, capture_output=True, text=True,
+            )
+        except subprocess.TimeoutExpired:
+            last_err = f"attempt {attempt}: watchdog timeout after {child_s:.0f}s"
+            print(f"[bench] {last_err}", file=sys.stderr, flush=True)
+        else:
+            sys.stderr.write(proc.stderr or "")
+            result = None
+            for line in (proc.stdout or "").splitlines():
+                line = line.strip()
+                if line.startswith("{"):
+                    try:
+                        obj = json.loads(line)
+                    except ValueError:
+                        continue
+                    if "value" in obj and "error" not in obj:
+                        result = line
+            if proc.returncode == 0 and result:
+                print(result, flush=True)
+                return 0
+            tail = (proc.stderr or "").strip().splitlines()[-3:]
+            last_err = (f"attempt {attempt}: rc={proc.returncode}; "
+                        + " | ".join(tail))
+            print(f"[bench] child failed: {last_err}", file=sys.stderr, flush=True)
+
+        # Re-probe before burning another attempt: distinguish a dead tunnel
+        # (wait for it within the remaining window) from a real bench bug.
+        remaining = wait_s - (time.monotonic() - t_start)
+        if attempt < retries and remaining > probe_s:
+            if not wait_for_tpu(remaining, probe_s):
+                emit_error("tpu_unreachable",
+                           f"tunnel died mid-round; {last_err}")
+                return 3
+
+    emit_error("bench_failed", last_err)
+    return 4
+
+
 if __name__ == "__main__":
-    main()
+    if os.environ.get("QUAKE_BENCH_CHILD") == "1":
+        run_bench()
+    else:
+        sys.exit(parent_main())

@@ -29,8 +29,10 @@ class Dataset(ABC):
         # pre-downloaded dataset files (e.g. sift/sift_base.fvecs) and every
         # loader picks them up without network access — the zero-egress
         # equivalent of the reference's downloader (ann_datasets.py:43-86).
-        if download_dir is None or download_dir == "data":
-            download_dir = os.environ.get("QUAKE_TPU_DATA_DIR", download_dir or "data")
+        # Only the *default* (None) consults the env var: an explicitly
+        # passed directory — including "data" — always wins.
+        if download_dir is None:
+            download_dir = os.environ.get("QUAKE_TPU_DATA_DIR", "data")
         self.download_dir = Path(download_dir)
 
     @abstractmethod
@@ -81,7 +83,7 @@ class RandomDataset(Dataset):
 
     metric = "l2"
 
-    def __init__(self, download_dir: str = "data", n: int = 100_000, d: int = 64,
+    def __init__(self, download_dir: str | None = None, n: int = 100_000, d: int = 64,
                  nq: int = 1000, seed: int = 0):
         super().__init__(download_dir)
         self.n, self.d, self.nq, self.seed = n, d, nq, seed
@@ -106,7 +108,7 @@ class ClusteredDataset(Dataset):
 
     metric = "l2"
 
-    def __init__(self, download_dir: str = "data", n: int = 100_000, d: int = 64,
+    def __init__(self, download_dir: str | None = None, n: int = 100_000, d: int = 64,
                  nq: int = 1000, n_centers: int = 512, spread: float = 4.0,
                  seed: int = 0):
         super().__init__(download_dir)
@@ -139,7 +141,7 @@ _REGISTRY = {
 }
 
 
-def load_dataset(name: str, download_dir: str = "data", **kwargs):
+def load_dataset(name: str, download_dir: str | None = None, **kwargs):
     """Registry entry point (ann_datasets.py:76-86)."""
     key = name.lower()
     if key not in _REGISTRY:
