@@ -662,8 +662,13 @@ def fused_ivf_search(
 
     pids = rank_parents(parent_codes, parent_ids, parent_norms, q, nprobe,
                         metric, parent_kernel)
-    # The parent ranking always yields nprobe valid candidates, so the
-    # dense (sorted-placement) epilogue is safe here.
+    # Self-heal the dense invariant: the approx parent path can surface a
+    # padded slot as -1 (topk_from_scores squashes -inf winners) in edge
+    # cases, and one -1 pid would drop its pair from build_groups_scatter —
+    # silently shifting v11's sorted-placement windows for every query.
+    # Substitute the query's best (always-valid) parent; duplicate pids are
+    # already collapsed by the unique pair keys downstream.
+    pids = jnp.where(pids >= 0, pids, pids[:, :1])
     scores, ids32, scanned = grouped_scan(
         codes, ids, sizes, norms, q, pids, k, metric, qt, group_chunk, kernel,
         dedup=dedup, exact=exact, dense=True,

@@ -367,7 +367,11 @@ class QuakeIndex:
         keep = np.ones_like(s_np, bool)
         for r in range(S):
             hits = np.nonzero(i_np[r] == fit_self[r])[0]
-            keep[r, hits[0] if len(hits) else 0] = False
+            # Drop the self match; when the self id is somehow absent from
+            # the top kmax+1, drop the LAST column (the weakest neighbor) so
+            # the row's radii keep their ranks instead of shifting one rank
+            # conservative.
+            keep[r, hits[0] if len(hits) else kmax] = False
         s_kept = s_np[keep].reshape(S, kmax)
         if self.metric == "l2":
             radii = np.sqrt(np.maximum(-s_kept, 0.0))  # [S, kmax]
@@ -375,15 +379,17 @@ class QuakeIndex:
             q_sq = np.sum(np.asarray(qf, np.float32) ** 2, axis=1)[:, None]
             radii = np.sqrt(np.maximum(q_sq + 1.0 - 2.0 * s_kept, 0.0))
 
-        # d1 = distance to the nearest centroid (parent top-1).
+        # d1 = distance to the nearest centroid (parent top-1), computed
+        # EXACTLY as at serving (aps_oneshot: true Euclidean ||q - c0||).
+        # The previous IP branch converted the parent score via
+        # sqrt(q^2 + 1 - 2s), assuming unit-norm centroids — centroids of
+        # unit-norm data have norm < 1, so the fitted (a, b) were applied to
+        # systematically smaller d1 at serving.
         psp = SearchParams(k=1, batched_scan=True)
-        p_scores, _, _ = self.parent._search_device(qf, psp, approx_flat=True)
-        ps = np.asarray(p_scores, np.float32)[:, 0]
-        if self.metric == "l2":
-            d1 = np.sqrt(np.maximum(-ps, 0.0))
-        else:
-            q_sq = np.sum(np.asarray(qf, np.float32) ** 2, axis=1)
-            d1 = np.sqrt(np.maximum(q_sq + 1.0 - 2.0 * ps, 0.0))
+        _, p_ids32, _ = self.parent._search_device(qf, psp, approx_flat=True)
+        pid0 = np.asarray(p_ids32, np.int64)[:, 0]
+        cents = np.asarray(state.centroids, np.float32)[np.maximum(pid0, 0)]
+        d1 = np.linalg.norm(np.asarray(qf, np.float32) - cents, axis=1)
 
         X = np.stack([np.ones_like(d1), d1], axis=1)  # [S, 2]
         coef, *_ = np.linalg.lstsq(X, radii, rcond=None)  # [2, kmax]

@@ -47,44 +47,87 @@ class ListScanLatencyEstimator:
         k_values=None,
         n_trials: int = DEFAULT_LATENCY_ESTIMATOR_NTRIALS,
         adaptive_nprobe: bool = False,
+        packaged: bool | None = None,
     ):
         self.d = int(d)
         self.n_values = list(n_values or DEFAULT_LATENCY_ESTIMATOR_RANGE_N)
         self.k_values = list(k_values or DEFAULT_LATENCY_ESTIMATOR_RANGE_K)
         self.n_trials = int(n_trials)
         self.latency_grid = self._analytic_grid()
-        self._apply_packaged_profile()
+        # Provenance of the current grid values — maintenance decisions must
+        # be auditable about which cost model they used:
+        #   "analytic"               bandwidth/overhead model (CPU fallback)
+        #   "packaged(d=N,scale=S)"  committed measured v5e grid, d-scaled
+        #   "profiled"               measured on this device at build
+        #   "csv"                    loaded from a cached profile
+        self.grid_source = "analytic"
+        # packaged: None = auto (use the committed measured grid iff the
+        # default backend is a TPU); True/False force it (tests, tooling).
+        if packaged is None:
+            packaged = self._backend_is_tpu()
+        if packaged:
+            self._apply_packaged_profile()
 
-    def _apply_packaged_profile(self):
-        """Anchor the default grid to a MEASURED v5e profile when running on
-        a TPU backend. Round-3 validation (experiments/
-        maintenance_grid_validation.py) found the analytic model off by
-        ~7x on average with adjacent-n shape errors up to 5.8x vs the real
-        production kernel — enough to flip split/delete decisions. Instead
-        of profiling at every build (minutes of compiles), the committed
-        measured grid (d=128, v5e) is interpolated onto this estimator's
-        (n, k) points and scaled by d/128 (scan cost is bandwidth-dominated,
-        linear in d). An explicitly profiled or CSV-loaded grid still
-        overrides this (profile_grouped_latency / load)."""
-        if getattr(ListScanLatencyEstimator, "_loading_packaged", False):
-            return  # re-entrancy guard: from_csv below constructs an estimator
+    @staticmethod
+    def _backend_is_tpu() -> bool:
         try:
             import jax
 
-            if jax.default_backend() != "tpu":
-                return
+            return jax.default_backend() == "tpu"
         except Exception:
+            return False
+
+    @classmethod
+    def _packaged_profiles(cls):
+        """Committed measured grids, keyed by their dimension. Round 3
+        shipped d=128 (v5e); later rounds may add more dims — the closest
+        dimension (log-ratio) is chosen and residually scaled."""
+        import glob
+        import re
+
+        data_dir = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "data")
+        out = {}
+        for p in glob.glob(os.path.join(data_dir, "v5e_grouped_latency_d*.csv")):
+            m = re.search(r"_d(\d+)\.csv$", p)
+            if m:
+                out[int(m.group(1))] = p
+        return out
+
+    def _apply_packaged_profile(self):
+        """Anchor the default grid to a MEASURED v5e profile. Round-3
+        validation (experiments/maintenance_grid_validation.py) found the
+        analytic model off by ~7x on average with adjacent-n shape errors up
+        to 5.8x vs the real production kernel — enough to flip split/delete
+        decisions. Instead of profiling at every build (minutes of remote
+        compiles), the committed measured grid nearest in dimension is
+        interpolated onto this estimator's (n, k) points and scaled for d.
+
+        The d-scaling is two-component: the grouped kernel's cost splits
+        into a slab-DMA part (linear in d; bandwidth-bound) and a selection/
+        merge part (d-independent: selection cost tracks round count, not
+        lane width — round-3 kernel A/Bs). At the measured d=128 operating
+        point the DMA share is ~0.55 (kernel 3.3 ms vs 1.8 ms DMA floor,
+        docs/STATUS.md), so L(d) = L(dref) * (0.45 + 0.55 * d/dref). A
+        same-dimension packaged grid needs no scaling; an explicitly
+        profiled or CSV-loaded grid still overrides this
+        (profile_grouped_latency / load). Reference analog: per-instance
+        profiling at maintenance_cost_estimator.cpp:59-94."""
+        if getattr(ListScanLatencyEstimator, "_loading_packaged", False):
+            return  # re-entrancy guard: from_csv below constructs an estimator
+        profiles = self._packaged_profiles()
+        if not profiles:
             return
-        path = os.path.join(os.path.dirname(os.path.dirname(
-            os.path.abspath(__file__))), "data", "v5e_grouped_latency_d128.csv")
+        dref = min(profiles, key=lambda dd: abs(np.log(dd / self.d)))
         ListScanLatencyEstimator._loading_packaged = True
         try:
-            ref = ListScanLatencyEstimator.from_csv(path)
+            ref = ListScanLatencyEstimator.from_csv(profiles[dref])
         finally:
             ListScanLatencyEstimator._loading_packaged = False
         if ref is None:
             return
-        scale = self.d / float(ref.d)
+        _DMA_SHARE = 0.55
+        scale = (1.0 - _DMA_SHARE) + _DMA_SHARE * self.d / float(ref.d)
         # Monotone-project the measured reference first: profiling noise can
         # leave L(n, k) locally decreasing (e.g. k=64 < k=16 at small n) and
         # the linear extrapolation beyond the measured grid amplifies that
@@ -101,6 +144,7 @@ class ListScanLatencyEstimator:
         self.latency_grid = np.maximum.accumulate(
             np.maximum.accumulate(self.latency_grid, axis=0), axis=1
         )
+        self.grid_source = f"packaged(d={ref.d},scale={scale:.3f})"
 
     # -- grid construction -----------------------------------------------------
 
@@ -148,6 +192,7 @@ class ListScanLatencyEstimator:
                 self.latency_grid[i, j] = (
                     (time.perf_counter() - t0) / self.n_trials * 1e9
                 )
+        self.grid_source = "profiled"
 
     def profile_grouped_latency(self, kernel: str | None = None, qt: int = 32,
                                 n_queries: int = 1024):
@@ -225,6 +270,7 @@ class ListScanLatencyEstimator:
                 _ = np.asarray(out[0][:1, :1])
                 per_call = (time.perf_counter() - t0) / reps
                 self.latency_grid[i, j] = per_call / n_queries * 1e9
+        self.grid_source = "profiled"
 
     # -- estimation ------------------------------------------------------------
 
@@ -287,6 +333,7 @@ class ListScanLatencyEstimator:
             d=int(rows[0][1]),
             n_values=[int(v) for v in rows[1][1:]],
             k_values=[int(v) for v in rows[2][1:]],
+            packaged=False,
         )
         est.load(path)
         return est
@@ -309,4 +356,5 @@ class ListScanLatencyEstimator:
         if grid.shape != (len(self.n_values), len(self.k_values)):
             raise ValueError("latency profile grid mismatch")
         self.latency_grid = grid
+        self.grid_source = "csv"
         return True

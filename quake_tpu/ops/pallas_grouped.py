@@ -554,8 +554,8 @@ def _global_epilogue(g_packed, gp, group_size, pair_group, pair_slot, pids,
     pool = m_keys.shape[1]
     poolp = -(-pool // 128) * 128
     lane_mult = max(poolp, 2)
-    if dedup or keys.shape[-1] < min(k, kk) or (levels * lane_mult + lane_mult
-                                                ) >= (1 << 24):
+    if dedup or keys.shape[-1] < k or (levels * lane_mult + lane_mult
+                                       ) >= (1 << 24):
         # Dedup pools (2k survivors of duplicate elimination) and oversized
         # pools keep the general top_k path; keys are per-row monotone so
         # they serve directly as merge scores.

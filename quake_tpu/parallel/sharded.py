@@ -446,6 +446,9 @@ def sharded_fused_search(mesh, codes, ids, norms, parent_codes, parent_ids, q,
         else:
             _, probe = flat_scan(q_l, pcodes_l, pids_l, nprobe, metric,
                                  approx=True)
+        # Dense-scan invariant self-heal (see fused_ivf_search): replace any
+        # -1 padded parent slot with the query's best parent.
+        probe = jnp.where(probe >= 0, probe, probe[:, :1])
         sizes_l = jnp.sum((ids_l >= 0).astype(jnp.int32), axis=1)
         s, i, scanned = grouped_scan(
             codes_l, ids_l, sizes_l, norms_l, q_l, probe, k, metric,

@@ -136,6 +136,48 @@ def test_build_flag_profiles_and_persists(tmp_path, small_data):
     assert idx2.maintenance_policy.cost_estimator.latency_estimator is idx2.latency_profile
 
 
+def test_packaged_grid_provenance_and_d_scaling():
+    """Maintenance decisions must be auditable about which cost model they
+    use (VERDICT r3 #7): on a TPU backend the committed MEASURED v5e grid is
+    active for ANY dimension — d-scaled by the two-component law (slab-DMA
+    linear in d, selection d-independent) — never the ~7x-off analytic
+    model. Reference analog: per-instance profiling,
+    maintenance_cost_estimator.cpp:59-94."""
+    # CPU default: analytic (packaged grids are v5e-measured, meaningless
+    # for CPU-backend latency).
+    est_cpu = ListScanLatencyEstimator(d=960)
+    assert est_cpu.grid_source == "analytic"
+    # Forced packaged (what a TPU backend auto-selects).
+    est128 = ListScanLatencyEstimator(d=128, packaged=True)
+    assert est128.grid_source == "packaged(d=128,scale=1.000)"
+    est960 = ListScanLatencyEstimator(d=960, packaged=True)
+    assert est960.grid_source == "packaged(d=128,scale=4.575)"
+    scale = 0.45 + 0.55 * 960 / 128
+    np.testing.assert_allclose(
+        est960.latency_grid, est128.latency_grid * scale, rtol=1e-6
+    )
+    # Explicit profile / CSV load still override the packaged grid.
+    est = ListScanLatencyEstimator(d=16, n_values=[64, 512], k_values=[1, 8],
+                                   n_trials=2, packaged=True)
+    est.profile_grouped_latency(kernel="xla", n_queries=64)
+    assert est.grid_source == "profiled"
+
+
+def test_index_960d_uses_packaged_grid_on_tpu(monkeypatch):
+    """A 960-d (gist-like) index built on a TPU backend makes split/delete
+    decisions with the measured/scaled grid — the estimator the policy holds
+    says so (VERDICT r3 #7 'done' criterion)."""
+    monkeypatch.setattr(ListScanLatencyEstimator, "_backend_is_tpu",
+                        staticmethod(lambda: True))
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((512, 960)).astype(np.float32)
+    idx = QuakeIndex()
+    idx.build(x, np.arange(512, dtype=np.int64),
+              IndexBuildParams(nlist=2, niter=1))
+    src = idx.maintenance_policy.cost_estimator.latency_estimator.grid_source
+    assert src == "packaged(d=128,scale=4.575)"
+
+
 def test_latency_estimator_monotone_in_n():
     est = ListScanLatencyEstimator(d=64)
     l1 = est.estimate_scan_latency(100, 10)
@@ -310,8 +352,9 @@ def test_search_correct_after_maintenance():
 def test_packaged_latency_profile_on_tpu(monkeypatch):
     """On TPU backends the default latency grid anchors to the committed
     MEASURED v5e profile (round-3 validation: analytic was ~7x off with
-    shape errors big enough to flip split/delete decisions), scaled by
-    d/128. CPU backends keep the analytic model (hermetic tests)."""
+    shape errors big enough to flip split/delete decisions), scaled by the
+    two-component law 0.45 + 0.55*d/128 (slab DMA linear in d; selection
+    d-independent). CPU backends keep the analytic model (hermetic tests)."""
     import jax as _jax
 
     from quake_tpu.maintenance.latency_estimator import ListScanLatencyEstimator
@@ -324,6 +367,7 @@ def test_packaged_latency_profile_on_tpu(monkeypatch):
     # monotone in n at fixed k (required by the delta formulas)
     g = tpu_est.latency_grid
     assert (np.diff(g, axis=0) >= -1e-6).all()
-    # d-scaling: doubling d doubles the anchored latencies
+    # d-scaling: doubling d scales by 0.45 + 0.55*2 = 1.55 (the DMA share
+    # doubles; the selection share does not)
     tpu_est2 = ListScanLatencyEstimator(256)
-    np.testing.assert_allclose(tpu_est2.latency_grid, 2.0 * g, rtol=1e-6)
+    np.testing.assert_allclose(tpu_est2.latency_grid, 1.55 * g, rtol=1e-6)

@@ -156,6 +156,41 @@ def test_faiss_ivf_wrapper_smoke():
     assert w.n_total() == 5000
 
 
+def test_faiss_ivfpq_wrapper_smoke():
+    """PQ variant matrix of the FaissIVF wrapper (reference
+    faiss_ivf.py:96-160): PQ (nc=0, m/b set) and IVFPQ (nc>0, m/b set) with
+    the IndexRefineFlat re-ranking factor. Skips without faiss-cpu."""
+    pytest.importorskip("faiss")
+    from quake_tpu.utils import compute_recall, knn
+    from quake_tpu.wrappers.faiss_ivf import FaissIVF
+
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal((5000, 16)).astype(np.float32)
+    ids = np.arange(5000, dtype=np.int64)
+    q = rng.standard_normal((50, 16)).astype(np.float32)
+    gt_ids, _ = knn(q, x, 10, "l2")
+
+    w = FaissIVF()
+    with pytest.raises(ValueError):
+        w.build(x, nc=16, m=4, b=0, ids=ids)  # m xor b
+
+    # PQ (flat + refine)
+    w.build(x, nc=0, m=4, b=8, ids=ids)
+    assert w.index_state()["index_type"] == "pq"
+    res = w.search(q, k=10, rf=4)
+    assert compute_recall(res.ids, gt_ids, 10) >= 0.8
+
+    # IVFPQ (+ refine)
+    w2 = FaissIVF()
+    w2.build(x, nc=16, m=4, b=8, ids=ids)
+    assert w2.index_state()["index_type"] == "ivfpq"
+    assert w2.centroids() is not None and len(w2.centroids()) == 16
+    res2 = w2.search(q, k=10, nprobe=16, rf=4)
+    assert compute_recall(res2.ids, gt_ids, 10) >= 0.8
+    w2.remove(ids[:100])
+    assert w2.n_total() == 4900
+
+
 def test_numpy_ivf_wrapper_executes():
     """The ALWAYS-executed competitor baseline (no optional deps): build/
     search/add/remove/save/load with recall checks vs the oracle — the analog
