@@ -157,7 +157,7 @@ def aps_loop(
     jax.jit,
     static_argnames=(
         "k", "metric", "dimension", "chunk", "use_precomputed", "qt", "kernel",
-        "small_batch",
+        "small_batch", "exact",
     ),
 )
 def aps_search(
@@ -180,6 +180,7 @@ def aps_search(
     norms=None,
     gamma=None,
     small_batch=None,
+    exact: bool = True,
 ):
     """Adaptive partition scan with recall-target early termination.
 
@@ -219,7 +220,8 @@ def aps_search(
     else:
         def scan_chunk(eff):
             s, si, _ = grouped_scan(
-                codes, ids, sizes, norms, q, eff, k, metric, qt, 64, kernel
+                codes, ids, sizes, norms, q, eff, k, metric, qt, 64, kernel,
+                exact=exact,
             )
             return s, si
 
@@ -233,7 +235,7 @@ def aps_search(
     jax.jit,
     static_argnames=(
         "k", "metric", "dimension", "chunk0", "use_precomputed", "qt",
-        "kernel", "plan_margin",
+        "kernel", "plan_margin", "exact",
     ),
 )
 def aps_search_planned(
@@ -255,6 +257,7 @@ def aps_search_planned(
     norms=None,
     gamma=None,
     plan_margin: int = 0,
+    exact: bool = True,
 ):
     """Two-phase ("planned") APS: prologue scan -> per-query probe plan ->
     ONE masked tail scan. Replaces the while_loop for production batches.
@@ -284,7 +287,8 @@ def aps_search_planned(
 
     def scan(eff):
         s, si, _ = grouped_scan(
-            codes, ids, sizes, norms, q, eff, k, metric, qt, 64, kernel
+            codes, ids, sizes, norms, q, eff, k, metric, qt, 64, kernel,
+            exact=exact,
         )
         return s, si
 
@@ -387,6 +391,7 @@ def aps_search_oneshot(
     norms=None,
     gamma=None,
     plan_margin: int = 4,
+    exact: bool = True,
 ):
     """One-pass APS: predicted radius -> per-query probe plan -> ONE scan.
 
@@ -416,7 +421,8 @@ def aps_search_oneshot(
 
     def scan(eff):
         s, si, _ = grouped_scan(
-            codes, ids, sizes, norms, q, eff, k, metric, qt, 64, kernel
+            codes, ids, sizes, norms, q, eff, k, metric, qt, 64, kernel,
+            exact=exact,
         )
         return s, si
 

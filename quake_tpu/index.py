@@ -843,6 +843,7 @@ class QuakeIndex:
                                if self.aps_gamma != 1.0 else None),
                         plan_margin=int(sp.aps_plan_margin),
                         norms=state.norms, kernel=self._grouped_kernel(),
+                        exact=bool(sp.exact_distances),
                     )
                 elif mode == "planned":
                     scores, ids32, scanned = sharded_aps_search_planned(
@@ -861,6 +862,7 @@ class QuakeIndex:
                                if self.aps_gamma != 1.0 else None),
                         plan_margin=int(sp.aps_plan_margin),
                         norms=state.norms, kernel=self._grouped_kernel(),
+                        exact=bool(sp.exact_distances),
                     )
                 else:
                     scores, ids32, scanned = sharded_aps_search(
@@ -875,6 +877,7 @@ class QuakeIndex:
                         gamma=(jnp.float32(self.aps_gamma)
                                if self.aps_gamma != 1.0 else None),
                         norms=state.norms, kernel=self._grouped_kernel(),
+                        exact=bool(sp.exact_distances),
                     )
                 if self.spill:
                     from quake_tpu.ops.scan import dedup_topk
@@ -904,6 +907,7 @@ class QuakeIndex:
                         gamma=(jnp.float32(self.aps_gamma)
                                if self.aps_gamma != 1.0 else None),
                         plan_margin=int(sp.aps_plan_margin),
+                        exact=bool(sp.exact_distances),
                     )
                 elif mode == "planned":
                     scores, ids32, scanned = coordinator.aps_search_planned(
@@ -929,6 +933,7 @@ class QuakeIndex:
                         gamma=(jnp.float32(self.aps_gamma)
                                if self.aps_gamma != 1.0 else None),
                         plan_margin=int(sp.aps_plan_margin),
+                        exact=bool(sp.exact_distances),
                     )
                 else:
                     scores, ids32, scanned = coordinator.aps_search(
@@ -951,6 +956,7 @@ class QuakeIndex:
                         norms=state.norms,
                         gamma=(jnp.float32(self.aps_gamma)
                                if self.aps_gamma != 1.0 else None),
+                        exact=bool(sp.exact_distances),
                     )
                 if self.spill:
                     from quake_tpu.ops.scan import dedup_topk

@@ -127,7 +127,7 @@ def sharded_flat_search(mesh, codes, ids, q, k: int, metric: str,
 
 
 def _local_grouped_chunk(codes_l, ids_l, norms_l, q_l, k, metric, qt,
-                         group_chunk, kernel, strategy):
+                         group_chunk, kernel, strategy, exact=True):
     """Local masked grouped scan + cross-device top-k merge — the per-chunk
     scan closure shared by the sharded APS paths. kernel: any
     coordinator.grouped_scan backend; the Pallas kernels need norms (pass
@@ -143,7 +143,8 @@ def _local_grouped_chunk(codes_l, ids_l, norms_l, q_l, k, metric, qt,
 
         def scan_chunk(eff):
             s, i, _ = grouped_scan(codes_l, ids_l, sizes_l, norms_l, q_l,
-                                   eff, k, metric, qt, group_chunk, kernel)
+                                   eff, k, metric, qt, group_chunk, kernel,
+                                   exact=exact)
             return _merge_gathered(s, i, k, SHARD_AXIS)
 
     else:
@@ -155,7 +156,8 @@ def _local_grouped_chunk(codes_l, ids_l, norms_l, q_l, k, metric, qt,
             owned = (eff >= 0) & (local_idx >= 0) & (local_idx < p_local)
             leff = jnp.where(owned, local_idx, -1)
             s, i, _ = grouped_scan(codes_l, ids_l, sizes_l, norms_l, q_l,
-                                   leff, k, metric, qt, group_chunk, kernel)
+                                   leff, k, metric, qt, group_chunk, kernel,
+                                   exact=exact)
             return _merge_gathered(s, i, k, SHARD_AXIS)
 
     return scan_chunk
@@ -167,7 +169,7 @@ def sharded_aps_search(mesh, codes, ids, centroids, q, pids, recall_target,
                        use_precomputed: bool = True, table=None,
                        qt: int = 32, group_chunk: int = 64,
                        strategy: str | None = None, gamma=None,
-                       norms=None, kernel: str = "xla"):
+                       norms=None, kernel: str = "xla", exact: bool = True):
     """Recall-target (APS) search over sharded slabs.
 
     The whole APS while-loop runs inside shard_map: each chunk's grouped
@@ -205,7 +207,7 @@ def sharded_aps_search(mesh, codes, ids, centroids, q, pids, recall_target,
         )
         scan_chunk = _local_grouped_chunk(
             codes_l, ids_l, norms_l, q_l, k, metric, qt, group_chunk,
-            kernel, strategy)
+            kernel, strategy, exact=exact)
 
         return aps_loop(
             q_l, pids_l, boundary, valid, table_l, recall_target,
@@ -236,7 +238,8 @@ def sharded_aps_search_planned(mesh, codes, ids, centroids, q, pids,
                                qt: int = 32, group_chunk: int = 64,
                                strategy: str | None = None, gamma=None,
                                plan_margin: int = 0,
-                               norms=None, kernel: str = "xla"):
+                               norms=None, kernel: str = "xla",
+                               exact: bool = True):
     """Planned (two-phase) APS over the mesh: prologue scan -> replicated
     per-query probe plan -> one masked tail scan (see
     coordinator.aps_search_planned). Both scans are local + all_gather
@@ -266,7 +269,7 @@ def sharded_aps_search_planned(mesh, codes, ids, centroids, q, pids,
         )
         scan_chunk = _local_grouped_chunk(
             codes_l, ids_l, norms_l, q_l, k, metric, qt, group_chunk,
-            kernel, strategy)
+            kernel, strategy, exact=exact)
 
         return aps_plan(
             q_l, pids_l, boundary, valid, table_l, recall_target, k, metric,
@@ -297,7 +300,8 @@ def sharded_aps_search_oneshot(mesh, codes, ids, centroids, q, pids,
                                qt: int = 32, group_chunk: int = 64,
                                strategy: str | None = None, gamma=None,
                                plan_margin: int = 4,
-                               norms=None, kernel: str = "xla"):
+                               norms=None, kernel: str = "xla",
+                               exact: bool = True):
     """Oneshot APS over the mesh: predicted-radius probe plan -> ONE masked
     scan (see coordinator.aps_search_oneshot). The plan is computed from
     replicated inputs (centroids, pids, the calibrated radius model), so
@@ -326,7 +330,7 @@ def sharded_aps_search_oneshot(mesh, codes, ids, centroids, q, pids,
         )
         scan_chunk = _local_grouped_chunk(
             codes_l, ids_l, norms_l, q_l, k, metric, qt, group_chunk,
-            kernel, strategy)
+            kernel, strategy, exact=exact)
 
         return aps_oneshot(
             q_l, pids_l, boundary, valid, table_l, recall_target, k, metric,

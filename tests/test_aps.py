@@ -414,3 +414,42 @@ def test_aps_ip_adherence_and_efficiency():
     assert np_eq is not None
     assert scanned <= 1.5 * np_eq + 1, (scanned, np_eq)
     assert scanned <= 15  # absolute regression guard (pre-fix: 21)
+
+
+def test_aps_dequantized_serving_wiring():
+    """SearchParams(exact_distances=False) threads through every APS mode
+    (loop/planned/oneshot) — previously only the fused fixed-nprobe path
+    honored it, so APS always paid the exact-rescore winner gather
+    (query_coordinator.cpp:383-430 has no such rescore stage either).
+    Adherence must hold and ids must match the exact=True run on the xla
+    backend (where dequantization is a no-op); kernel-level dequantized
+    parity is covered by test_v10_dequantized_matches_exact."""
+    from quake_tpu import IndexBuildParams, QuakeIndex, SearchParams
+    from quake_tpu.utils import compute_recall, knn
+
+    rng = np.random.default_rng(11)
+    x = rng.standard_normal((20_000, 32)).astype(np.float32)
+    q = rng.standard_normal((16, 32)).astype(np.float32)
+    ids = np.arange(20_000, dtype=np.int64)
+    idx = QuakeIndex()
+    idx.build(x, ids, IndexBuildParams(nlist=128))
+    gt, _ = knn(q, x, 10, "l2")
+
+    for mode in ("loop", "planned", "oneshot"):
+        res = idx.search(
+            q,
+            SearchParams(k=10, recall_target=0.8,
+                         initial_search_fraction=0.5, aps_mode=mode,
+                         recompute_threshold=0.0, aps_chunk_size=4,
+                         exact_distances=False),
+        )
+        achieved = compute_recall(res.ids, gt, 10)
+        assert achieved >= 0.75, (mode, achieved)
+        res_e = idx.search(
+            q,
+            SearchParams(k=10, recall_target=0.8,
+                         initial_search_fraction=0.5, aps_mode=mode,
+                         recompute_threshold=0.0, aps_chunk_size=4,
+                         exact_distances=True),
+        )
+        assert np.array_equal(np.asarray(res.ids), np.asarray(res_e.ids)), mode

@@ -269,3 +269,22 @@ def test_sharded_fused_parent_sharding_parity(small_data):
     for b in range(len(q)):
         assert set(out[True][2][b].tolist()) == set(out[False][2][b].tolist())
     np.testing.assert_array_equal(out[True][0], np.asarray(res_single.ids))
+
+
+def test_sharded_aps_dequantized_matches_single_device(small_data):
+    """exact_distances=False threads through the sharded APS variants:
+    sharded results == single-device results for the same params (on the
+    xla backend dequantization is a no-op; the wiring — shard_map closure
+    capture + jit static args — is what this exercises)."""
+    x, ids, q = small_data
+    idx = QuakeIndex()
+    idx.build(x, ids, IndexBuildParams(nlist=32))
+    params = [SearchParams(k=10, recall_target=0.9,
+                           initial_search_fraction=0.5, aps_mode=mode,
+                           exact_distances=False)
+              for mode in ("loop", "planned")]
+    singles = [idx.search(q, sp) for sp in params]
+    idx.shard(len(jax.devices()))
+    for sp, res_single in zip(params, singles):
+        res_sharded = idx.search(q, sp)
+        np.testing.assert_array_equal(res_single.ids, res_sharded.ids)
