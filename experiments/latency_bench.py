@@ -36,6 +36,9 @@ def main():
     ap.add_argument("--reps", type=int, default=50)
     ap.add_argument("--target", type=float, default=0.9)
     ap.add_argument("--out", default="latency_results.json")
+    ap.add_argument("--exact", action="store_true",
+                    help="exact-rescored distances (default: dequantized "
+                         "serving, the production bench config)")
     args = ap.parse_args()
 
     import jax
@@ -99,7 +102,9 @@ def main():
         }
         print(name, results[name])
 
-    time_mode("fixed_nprobe", SearchParams(k=10, nprobe=chosen))
+    ex = bool(args.exact)
+    time_mode("fixed_nprobe", SearchParams(k=10, nprobe=chosen,
+                                           exact_distances=ex))
     time_mode(
         "aps",
         SearchParams(
@@ -107,12 +112,14 @@ def main():
             recall_target=args.target,
             initial_search_fraction=0.125,
             aps_chunk_size=4,
+            exact_distances=ex,
         ),
     )
     time_mode(
         "aps_planned",
         SearchParams(k=10, recall_target=args.target,
-                     initial_search_fraction=0.125, aps_mode="planned"),
+                     initial_search_fraction=0.125, aps_mode="planned",
+                     exact_distances=ex),
     )
     if idx.aps_radius_ab is not None:
         # Oneshot (predicted-radius plan, one scan): the latency-regime
@@ -121,7 +128,8 @@ def main():
         time_mode(
             "aps_oneshot",
             SearchParams(k=10, recall_target=args.target,
-                         initial_search_fraction=0.125, aps_mode="oneshot"),
+                         initial_search_fraction=0.125, aps_mode="oneshot",
+                         exact_distances=ex),
         )
     with open(args.out, "w") as f:
         json.dump(results, f, indent=2)
