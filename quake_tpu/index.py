@@ -475,6 +475,12 @@ class QuakeIndex:
         from quake_tpu.parallel.mesh import make_mesh, shard_store_state
 
         self.mesh = make_mesh(n_devices)
+        # Slot sharding slices the capacity axis: re-bucket C so each
+        # device's local slice stays a 128-multiple, keeping the sharded
+        # scan on the production fold kernels instead of the v3pn fallback
+        # (builds that pass IndexBuildParams.num_shards get this up front).
+        ndev = int(self.mesh.devices.size)
+        self.store.ensure_capacity_multiple(128 * ndev)
         self.store.state = shard_store_state(self.store.state, self.mesh)
 
     def initialize_maintenance_policy(self, params: MaintenancePolicyParams):

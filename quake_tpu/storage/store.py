@@ -261,6 +261,8 @@ class PartitionStore:
         self.generation: np.ndarray | None = None  # [P] int64
         self.id_map = make_id_map()  # native C++ map, dict fallback
         self.spill_map = None  # second residency map when SOAR spill is on
+        self.cap_multiple = 128  # capacity rounding granularity (see
+        # init_from_assignments; 128 * num_shards for slot-sharded stores)
 
     @property
     def spill(self) -> bool:
@@ -327,6 +329,7 @@ class PartitionStore:
         # lane count.
         max_count = int(counts.max(initial=1))
         cm = max(128, -(-int(cap_multiple) // 128) * 128)
+        self.cap_multiple = cm
         C = -(-max(MIN_CAPACITY, max_count) // cm) * cm
         # Partition-axis padding: tight 128-granularity (P directly scales
         # the grouped scan's group count; pow2 doubling wastes up to 2x).
@@ -370,7 +373,24 @@ class PartitionStore:
         need = int((sizes[: len(incoming_counts)] + incoming_counts).max(initial=0))
         if need > self.C:
             _newC = next_pow2(need, self.C * 2)
+            # Preserve the shard granularity: every device's slot-sharded
+            # slice of the grown slab must stay a 128-multiple.
+            cm = self.cap_multiple
+            _newC = -(-_newC // cm) * cm
             self.state = _grow_capacity(self.state, new_C=_newC)
+
+    def ensure_capacity_multiple(self, multiple: int):
+        """Re-bucket C to a multiple of `multiple` (and make it the growth
+        granularity). Called when an EXISTING store is sharded post-build:
+        slot sharding slices the capacity axis across devices, and the
+        Pallas fold kernels require each LOCAL slice (C / num_shards) to be
+        a 128-multiple — otherwise the sharded scan silently falls back to
+        the slower v3pn backend (docs/STATUS.md r3 gap #4)."""
+        cm = max(128, -(-int(multiple) // 128) * 128)
+        self.cap_multiple = max(self.cap_multiple, cm)
+        newC = -(-self.C // cm) * cm
+        if newC != self.C:
+            self.state = _grow_capacity(self.state, new_C=newC)
 
     def ensure_rows(self, n_new_rows: int):
         if n_new_rows <= len(self.free_rows):

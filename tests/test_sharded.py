@@ -288,3 +288,35 @@ def test_sharded_aps_dequantized_matches_single_device(small_data):
     for sp, res_single in zip(params, singles):
         res_sharded = idx.search(q, sp)
         np.testing.assert_array_equal(res_single.ids, res_sharded.ids)
+
+
+def test_shard_rebuckets_capacity_to_local_tile_multiple(small_data):
+    """Post-build shard() re-buckets C to a multiple of 128*ndev so each
+    device's slot-sharded slice is itself a 128-multiple (the Pallas fold
+    kernels require it; otherwise a real TPU slice silently falls back to
+    the v3pn backend — STATUS r3 gap #4). Results must be unchanged, and
+    subsequent capacity growth must preserve the granularity."""
+    x, ids, q = small_data
+    idx = QuakeIndex()
+    idx.build(x, ids, IndexBuildParams(nlist=32))
+    sp = SearchParams(k=10, nprobe=8)
+    res_single = idx.search(q, sp)
+
+    ndev = len(jax.devices())
+    idx.shard(ndev)
+    assert idx.store.C % (128 * ndev) == 0
+    assert (idx.store.C // ndev) % 128 == 0
+    res_sharded = idx.search(q, sp)
+    np.testing.assert_array_equal(res_single.ids, res_sharded.ids)
+
+    # Growth keeps the multiple.
+    st = idx.store
+    st.cap_multiple = 128 * ndev
+    old_c = st.C
+    import numpy as _np
+    counts = _np.zeros(st.P, dtype=_np.int64)
+    counts[0] = old_c + 1  # force a growth past the current capacity
+    # ensure_capacity operates on the (sharded) state; growth itself is a
+    # pad, valid on a replicated-or-sharded array in this test env.
+    st.ensure_capacity(counts)
+    assert st.C > old_c and st.C % (128 * ndev) == 0
