@@ -43,6 +43,7 @@ JOBS = [
                     "--out", "experiments/r4_runs/latency_b1.json"], 3600),
     ("donation_check", [sys.executable, "scripts/tpu_donation_check.py"], 1800),
     ("kernel_ab31", [sys.executable, "experiments/kernel_ab31.py"], 3600),
+    ("nlist_sweep4", [sys.executable, "experiments/nlist_sweep4.py"], 5400),
     ("bench_10m", [sys.executable, "bench_suite.py", "--configs", "10m"], 5400),
 ]
 
