@@ -9,6 +9,13 @@ build-time radius predictor; this script reports achieved recall on REAL
 (out-of-sample) queries — the calibration sample is resident vectors, so
 this is the honest adherence check.
 
+Round-4 additions (VERDICT r3 #4): oneshot now serves the flat-pair-list
+budgeted scan (grouped_scan_pallas_v10b) when the build calibrated
+(aps_width_clip, aps_budget_w) — "oneshot" below measures that production
+path, "oneshot_nobudget" toggles the fields off same-run to isolate the
+budget's contribution; exact_distances=False now reaches the APS pool tail
+(round-4 prep f28ee7e), so the dequant win is included in both.
+
 Protocol: build once (niter=15, bf16, calibrated), recall vs f32 oracle on
 1024 queries; same-run interleaved timing at B=4096, two passes.
 
@@ -53,7 +60,9 @@ def main():
                       "radius_ab_k10": (None if idx.aps_radius_ab is None
                                         else [round(float(v), 4)
                                               for v in idx.aps_radius_ab[9]]),
-                      "mcap": idx.aps_oneshot_mcap}),
+                      "mcap": idx.aps_oneshot_mcap,
+                      "width_clip": idx.aps_width_clip,
+                      "budget_w": idx.aps_budget_w}),
           flush=True)
 
     q_dev = jnp.asarray(queries[:B])
@@ -79,30 +88,50 @@ def main():
         _ = np.asarray(last[1]).ravel()[:1]
         return (time.perf_counter() - t0) / reps * 1e3
 
-    sps = {
-        "fixed_np16": SearchParams(k=K, nprobe=16, exact_distances=False),
-        "oneshot": SearchParams(k=K, recall_target=target,
-                                aps_mode="oneshot", exact_distances=False),
-        "planned": SearchParams(k=K, recall_target=target,
-                                aps_mode="planned", exact_distances=False),
-        "loop": SearchParams(k=K, recall_target=target, aps_mode="loop",
-                             exact_distances=False),
-    }
+    cal_budget = (idx.aps_width_clip, idx.aps_budget_w)
+
+    def set_budget(on: bool):
+        idx.aps_width_clip, idx.aps_budget_w = cal_budget if on else (0, 0)
+
+    # (name, params, budget_on): "oneshot" is the production path (budgeted
+    # when the calibration accepted it); "oneshot_nobudget" isolates the
+    # flat-pair-list machinery's contribution same-run.
+    sps = [
+        ("fixed_np16",
+         SearchParams(k=K, nprobe=16, exact_distances=False), False),
+        ("oneshot",
+         SearchParams(k=K, recall_target=target, aps_mode="oneshot",
+                      exact_distances=False), True),
+        ("oneshot_nobudget",
+         SearchParams(k=K, recall_target=target, aps_mode="oneshot",
+                      exact_distances=False), False),
+        ("planned",
+         SearchParams(k=K, recall_target=target, aps_mode="planned",
+                      exact_distances=False), False),
+        ("loop",
+         SearchParams(k=K, recall_target=target, aps_mode="loop",
+                      exact_distances=False), False),
+    ]
+    if not cal_budget[1]:
+        sps = [c for c in sps if c[0] != "oneshot_nobudget"]
     meta = {}
-    for name, sp in sps.items():
+    for name, sp, bud in sps:
+        set_budget(bud)
         rec, scanned = recall_and_scanned(sp)
         meta[name] = (rec, scanned)
         print(json.dumps({"cfg": name, "recall": round(rec, 4),
                           "scanned_mean": scanned}), flush=True)
 
     for pass_no in (1, 2):
-        for name, sp in sps.items():
+        for name, sp, bud in sps:
+            set_budget(bud)
             ms = step_ms(sp)
             rec, scanned = meta[name]
             print(json.dumps({"cfg": f"{name}_p{pass_no}",
                               "recall": round(rec, 4),
                               "scanned": scanned, "ms": round(ms, 3),
                               "qps": round(B / ms * 1e3)}), flush=True)
+    set_budget(True)
     print("done", flush=True)
 
 

@@ -368,7 +368,7 @@ def aps_plan(q, pids, boundary, valid, table, recall_target, k: int,
     jax.jit,
     static_argnames=(
         "k", "metric", "dimension", "use_precomputed", "qt", "kernel",
-        "plan_margin",
+        "plan_margin", "exact", "width_clip", "budget_w",
     ),
 )
 def aps_search_oneshot(
@@ -392,6 +392,8 @@ def aps_search_oneshot(
     gamma=None,
     plan_margin: int = 4,
     exact: bool = True,
+    width_clip: int = 0,
+    budget_w: int = 0,
 ):
     """One-pass APS: predicted radius -> per-query probe plan -> ONE scan.
 
@@ -419,29 +421,40 @@ def aps_search_oneshot(
         q, centroids, pids, dimension, use_precomputed, table
     )
 
-    def scan(eff):
+    def scan(eff, pair_budget=0):
         s, si, _ = grouped_scan(
             codes, ids, sizes, norms, q, eff, k, metric, qt, 64, kernel,
-            exact=exact,
+            exact=exact, pair_budget=pair_budget,
         )
         return s, si
 
     return aps_oneshot(
         q, pids, boundary, valid, table, recall_target, k, metric, dimension,
         use_precomputed, scan, centroids, radius_a, radius_b, gamma=gamma,
-        plan_margin=plan_margin,
+        plan_margin=plan_margin, width_clip=width_clip, budget_w=budget_w,
     )
 
 
 def aps_oneshot(q, pids, boundary, valid, table, recall_target, k: int,
                 metric: str, dimension: int, use_precomputed: bool,
                 scan_chunk, centroids, radius_a, radius_b, gamma=None,
-                plan_round: int = 4, plan_margin: int = 4):
+                plan_round: int = 4, plan_margin: int = 4,
+                width_clip: int = 0, budget_w: int = 0):
     """Oneshot-APS core, shared by the single-device and shard_map paths
-    (see aps_search_oneshot). `scan_chunk(eff)` scans a [B, M] pid matrix
-    (-1 = skip) and returns merged per-query (scores, ids) — on a mesh it
-    wraps the local scan plus the cross-device merge; the plan is computed
-    from replicated-identical inputs so every device masks identically."""
+    (see aps_search_oneshot). `scan_chunk(eff, pair_budget=0)` scans a
+    [B, M] pid matrix (-1 = skip) and returns merged per-query
+    (scores, ids) — on a mesh it wraps the local scan plus the cross-device
+    merge; the plan is computed from replicated-identical inputs so every
+    device masks identically.
+
+    width_clip / budget_w (flat-pair-list mode, VERDICT r3 #4): when set,
+    plans are clipped to width_clip ranks per query and to a TOTAL of
+    B * budget_w pairs per batch (proportional scale-down of the
+    above-floor tail on overflow), and the scan runs with the grouped
+    machinery sized to that budget (grouped_scan_pallas_v10b) instead of
+    B * M. Both are calibrated at build time with the end-to-end adherence
+    gate active (index._calibrate_radius_predictor), so the clipping's
+    recall cost is validated, not assumed."""
     B, M = pids.shape
     qf = q.astype(jnp.float32)
     c0 = centroids[jnp.maximum(pids[:, 0], 0)].astype(jnp.float32)  # [B, D]
@@ -462,11 +475,32 @@ def aps_oneshot(q, pids, boundary, valid, table, recall_target, k: int,
     n_b = jnp.where(jnp.any(hit, axis=1), first + 2, M)
     n_b = n_b + plan_margin
     n_b = -(-n_b // plan_round) * plan_round
-    n_b = jnp.clip(n_b, jnp.minimum(plan_round, M), M)
+    minf = jnp.minimum(plan_round, M)
+    n_b = jnp.clip(n_b, minf, M)
 
-    rank_idx = jnp.arange(M, dtype=jnp.int32)[None, :]
-    eff = jnp.where(rank_idx < n_b[:, None], pids, -1)
-    scores, sids = scan_chunk(eff)
+    W = M
+    pair_budget = 0
+    if width_clip and budget_w:
+        W = min(width_clip, M)
+        n_b = jnp.minimum(n_b, W)
+        # Total-pair budget: scale the above-floor tail down so that
+        # sum(n_b) <= B * budget_w is GUARANTEED (floor division), never
+        # dropping a query below the plan floor. Overflow is rare by
+        # construction (budget_w is calibrated above the mean plan width);
+        # when it hits, the scale-down sheds the deepest plans' tail ranks
+        # first in relative terms — the lowest-probability pairs.
+        n_bud = B * max(budget_w, int(plan_round))
+        total = jnp.sum(n_b)
+        base = B * minf
+        avail = jnp.maximum(n_bud - base, 0)
+        denom = jnp.maximum(total - base, 1)
+        scaled = minf + ((n_b - minf) * avail) // denom
+        n_b = jnp.where(total > n_bud, scaled, n_b)
+        pair_budget = int(n_bud)
+
+    rank_idx = jnp.arange(W, dtype=jnp.int32)[None, :]
+    eff = jnp.where(rank_idx < n_b[:, None], pids[:, :W], -1)
+    scores, sids = scan_chunk(eff, pair_budget)
     scanned = jnp.sum((eff >= 0).astype(jnp.int32), axis=1)
     return scores, sids, scanned
 
@@ -474,7 +508,7 @@ def aps_oneshot(q, pids, boundary, valid, table, recall_target, k: int,
 def grouped_scan(codes, ids, sizes, norms, q, pids, k: int, metric: str,
                  qt: int, group_chunk: int, kernel: str,
                  dedup: bool = False, exact: bool = True,
-                 dense: bool = False):
+                 dense: bool = False, pair_budget: int = 0):
     """Dispatch to a grouped-scan backend by name.
 
     kernel: "xla" (chunked lax.map — any platform), "v2" (whole-slab Pallas,
@@ -489,6 +523,11 @@ def grouped_scan(codes, ids, sizes, norms, q, pids, k: int, metric: str,
     dense: promise that EVERY pid is valid (fixed-nprobe semantics). The
     v11 sorted placement requires it — with dense=False (APS masked
     tails), a v11 request silently rides the v10 scatter epilogue instead.
+
+    pair_budget > 0 (masked v10/v11 requests only): run the budgeted
+    flat-pair-list path (grouped_scan_pallas_v10b) — group tables, kernel
+    grid, and scatter rows sized to the budget instead of B*M. The caller
+    must guarantee valid pairs <= pair_budget (aps_oneshot plan clipping).
     All return (scores [B,k], ids [B,k], scanned [B]).
     """
     if kernel.startswith("v5") or kernel.startswith("v6"):
@@ -556,6 +595,21 @@ def grouped_scan(codes, ids, sizes, norms, q, pids, k: int, metric: str,
             fold = int(fs)
         if spec.startswith("g"):
             gpb = int(spec[1:])
+        if (pair_budget > 0 and not dense and name in ("v10", "v11")
+                and codes.shape[1] % fold == 0):
+            from quake_tpu.ops.pallas_grouped import (budget_sort_key_fits,
+                                                      grouped_scan_pallas_v10b)
+
+            # v11b: sorted placement for the budgeted masked scan — the
+            # masked-path analog of the v10 -> v11 dense win. Falls back
+            # to the row scatter when the uint32 sort key can't fit.
+            placement = ("sorted" if name == "v11" and budget_sort_key_fits(
+                q.shape[0], pids.shape[1], pair_budget, codes.shape[0],
+                qt, gpb) else "scatter")
+            return grouped_scan_pallas_v10b(
+                codes, ids, sizes, norms, q, pids, k, metric,
+                pair_budget=pair_budget, qt=qt, gpb=gpb, fold=fold,
+                dedup=dedup, exact=exact, placement=placement)
         if name == "v11" and not dense:
             # The sorted-placement epilogue requires every pair valid
             # (fixed-nprobe semantics); masked pid matrices (APS tails)

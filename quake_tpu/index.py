@@ -85,6 +85,12 @@ class QuakeIndex:
         # (oneshot mode falls back to planned).
         self.aps_radius_ab = None
         self.aps_oneshot_mcap = 0  # calibrated candidate-width cap (0 = off)
+        # Flat-pair-list budget for the oneshot masked scan (0 = off): plans
+        # are clipped to aps_width_clip ranks/query and B*aps_budget_w total
+        # pairs/batch, and the grouped machinery is sized to that budget
+        # (grouped_scan_pallas_v10b). Calibrated with the adherence gate.
+        self.aps_budget_w = 0
+        self.aps_width_clip = 0
         self.spill = False  # SOAR spilled assignment (IndexBuildParams.spill)
         self.soar_lambda = 1.0
         self.latency_profile = None  # profiled (n, k) grid, else analytic
@@ -466,6 +472,52 @@ class QuakeIndex:
             got = _drop_self(np.asarray(ids32).astype(np.int64), self_ids, k)
             if compute_recall(got, gt, k) >= goal:
                 self.aps_oneshot_mcap = mcap
+                break
+
+        # Flat-pair budget (VERDICT r3 #4): the masked scan still sizes its
+        # grouping/grid/scatter machinery to B*M pairs while plans cover a
+        # much smaller prefix. Calibrate (width_clip, budget_w) so serving
+        # can run the budgeted path (grouped_scan_pallas_v10b): width_clip
+        # bounds any single plan (p99-of-scanned, multiple of 8), budget_w
+        # bounds the batch total per query (mean-based, multiple of 4;
+        # overflow scale-down sheds the lowest-probability tail ranks).
+        # Each candidate is validated END-TO-END with the budget active —
+        # the tax cut is measured, the adherence is gated.
+        self.aps_budget_w = 0
+        self.aps_width_clip = 0
+        W = self.aps_oneshot_mcap or pids.shape[1]
+        _, ids32, sc_b = coordinator.aps_search_oneshot(
+            state.codes, state.ids, state.centroids, q, pids[:, :W],
+            jnp.float32(target), k=k + 1, metric=self.metric,
+            dimension=self.aps_dimension or self.d(),
+            radius_a=jnp.float32(ra), radius_b=jnp.float32(rb),
+            use_precomputed=True, table=table,
+            qt=32, kernel=self._grouped_kernel(),
+            sizes=state.sizes, norms=state.norms,
+            gamma=(jnp.float32(self.aps_gamma)
+                   if self.aps_gamma != 1.0 else None),
+        )
+        sc_np = np.asarray(sc_b, np.float64)
+        wclip = int(min(-(-int(np.quantile(sc_np, 0.99) + 4) // 8) * 8, W))
+        mean_sc = float(sc_np.mean())
+        for f in (1.15, 1.4, 1.8):
+            bw = int(min(-(-int(f * mean_sc + 2) // 4) * 4, wclip))
+            _, ids32, _ = coordinator.aps_search_oneshot(
+                state.codes, state.ids, state.centroids, q, pids[:, :W],
+                jnp.float32(target), k=k + 1, metric=self.metric,
+                dimension=self.aps_dimension or self.d(),
+                radius_a=jnp.float32(ra), radius_b=jnp.float32(rb),
+                use_precomputed=True, table=table,
+                qt=32, kernel=self._grouped_kernel(),
+                sizes=state.sizes, norms=state.norms,
+                gamma=(jnp.float32(self.aps_gamma)
+                       if self.aps_gamma != 1.0 else None),
+                width_clip=wclip, budget_w=bw,
+            )
+            got = _drop_self(np.asarray(ids32).astype(np.int64), self_ids, k)
+            if compute_recall(got, gt, k) >= goal:
+                self.aps_width_clip = wclip
+                self.aps_budget_w = bw
                 break
 
     def shard(self, n_devices: int):
@@ -850,6 +902,8 @@ class QuakeIndex:
                         plan_margin=int(sp.aps_plan_margin),
                         norms=state.norms, kernel=self._grouped_kernel(),
                         exact=bool(sp.exact_distances),
+                        width_clip=int(self.aps_width_clip),
+                        budget_w=int(self.aps_budget_w),
                     )
                 elif mode == "planned":
                     scores, ids32, scanned = sharded_aps_search_planned(
@@ -914,6 +968,8 @@ class QuakeIndex:
                                if self.aps_gamma != 1.0 else None),
                         plan_margin=int(sp.aps_plan_margin),
                         exact=bool(sp.exact_distances),
+                        width_clip=int(self.aps_width_clip),
+                        budget_w=int(self.aps_budget_w),
                     )
                 elif mode == "planned":
                     scores, ids32, scanned = coordinator.aps_search_planned(
@@ -1360,6 +1416,8 @@ class QuakeIndex:
             "aps_radius_ab": (self.aps_radius_ab.tolist()
                               if self.aps_radius_ab is not None else None),
             "aps_oneshot_mcap": self.aps_oneshot_mcap,
+            "aps_budget_w": self.aps_budget_w,
+            "aps_width_clip": self.aps_width_clip,
             "spill": self.spill,
             "soar_lambda": self.soar_lambda,
             "free_rows": self.store.free_rows,
@@ -1399,6 +1457,8 @@ class QuakeIndex:
         self.aps_radius_ab = (np.asarray(rab, np.float32)
                               if rab is not None else None)
         self.aps_oneshot_mcap = meta.get("aps_oneshot_mcap", 0)
+        self.aps_budget_w = meta.get("aps_budget_w", 0)
+        self.aps_width_clip = meta.get("aps_width_clip", 0)
         dtype = jnp.bfloat16 if meta.get("precision") == "bf16" else jnp.float32
 
         from quake_tpu.storage.store import StoreState

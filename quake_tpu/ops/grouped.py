@@ -261,6 +261,87 @@ def build_groups_scatter(pids, nlist_cap: int, qt: int):
     return group_pid, qlist, tgt
 
 
+def budget_layout(n_bud: int, nlist_cap: int, qt: int) -> int:
+    """Worst-case group count for a pair-budgeted grouping: at most
+    min(n_bud, nlist_cap) distinct partitions, each adding one partial
+    group on top of the n_bud // qt full ones (see group_layout)."""
+    return min(n_bud, nlist_cap) + n_bud // qt
+
+
+@functools.partial(jax.jit, static_argnames=("nlist_cap", "qt", "n_bud"))
+def build_groups_budget(pids, nlist_cap: int, qt: int, n_bud: int):
+    """build_groups_scatter with the machinery sized to a PAIR BUDGET.
+
+    The masked APS scan hands grouped_scan a [B, M] candidate matrix in
+    which only the planned prefix of each row is valid (often ~40% of the
+    pairs at production targets). build_groups_scatter still sizes every
+    downstream array — group tables, kernel grid, scatter targets — to the
+    worst case B*M. Here invalid pairs are keyed to sort LAST and the
+    sorted order is truncated to n_bud, so everything after the (still
+    B*M-sized) packed sort scales with the budget instead.
+
+    CONTRACT: the caller guarantees the number of valid pairs is <= n_bud
+    (aps_oneshot's plan clipping enforces it on the APS path). Valid pairs
+    beyond the budget would be silently dropped.
+
+    Returns (group_pid [Gb], qlist [Gb, QT], tgt [Gb, QT]) with
+    Gb = budget_layout(n_bud, nlist_cap, qt); tgt is the flat pair index
+    b * M + j of each kernel row (n = B*M for discard rows), exactly as
+    build_groups_scatter returns.
+    """
+    B, nprobe = pids.shape
+    n = B * nprobe
+    n_bud = min(n_bud, n)
+    G = budget_layout(n_bud, nlist_cap, qt)
+    P = nlist_cap
+    flat_pid = pids.reshape(-1)
+    iota_n = jnp.arange(n, dtype=jnp.int32)
+    ok = flat_pid >= 0
+
+    if (P + 2) * n <= 2**31 - 1:
+        # Packed single-key sort with invalid pairs keyed LAST:
+        # key = (pid+1)*n + i for valid, (P+1)*n + i for invalid.
+        keys = jnp.where(ok, (flat_pid + 1) * n + iota_n, (P + 1) * n + iota_n)
+        key_sorted = jnp.sort(keys)[:n_bud]
+        order = key_sorted - (key_sorted // n) * n
+        offs = jnp.searchsorted(
+            key_sorted, (jnp.arange(P + 1, dtype=jnp.int32) + 1) * n
+        ).astype(jnp.int32)
+    else:
+        safe = jnp.where(ok, flat_pid, P)  # invalid sorts last
+        p_sorted, order = jax.lax.sort(
+            (safe, iota_n), num_keys=1)
+        p_sorted, order = p_sorted[:n_bud], order[:n_bud]
+        offs = jnp.searchsorted(
+            p_sorted, jnp.arange(P + 1, dtype=jnp.int32)
+        ).astype(jnp.int32)
+
+    counts = offs[1:] - offs[:-1]
+    groups_of = (counts + qt - 1) // qt
+    gbase = jnp.cumsum(groups_of) - groups_of
+    total_groups = jnp.where(P > 0, gbase[-1] + groups_of[-1], 0)
+
+    g_iota = jnp.arange(G, dtype=jnp.int32)
+    p_iota = jnp.arange(P, dtype=jnp.int32)
+    marks = jnp.zeros((G + 1,), jnp.int32).at[
+        jnp.where(groups_of > 0, jnp.minimum(gbase, G), G)
+    ].max(p_iota + 1, mode="drop")
+    p_of_g = lax.cummax(marks[:G]) - 1
+    p_of_g = jnp.clip(p_of_g, 0, P - 1)
+    g_valid = g_iota < total_groups
+    group_pid = jnp.where(g_valid, p_of_g, -1)
+    tile = g_iota - gbase[p_of_g]
+    start = offs[p_of_g] + tile * qt
+    lane = jnp.arange(qt, dtype=jnp.int32)
+    pos = start[:, None] + lane[None, :]
+    in_run = pos < (offs[p_of_g] + counts[p_of_g])[:, None]
+    tgt_raw = order[jnp.clip(pos, 0, n_bud - 1)]
+    valid = g_valid[:, None] & in_run
+    qlist = jnp.where(valid, tgt_raw // nprobe, -1)
+    tgt = jnp.where(valid, tgt_raw, n)
+    return group_pid, qlist, tgt
+
+
 @functools.partial(jax.jit, static_argnames=("nlist_cap", "qt", "ct", "cap"))
 def build_chunk_groups(pids, sizes, nlist_cap: int, qt: int, ct: int, cap: int):
     """Chunk-level grouping for the size-aware v4 kernel.

@@ -1419,6 +1419,65 @@ def _sorted_epilogue(g_packed, tgt, group_size, pids, codes, ids, norms, q,
                       interpret=interpret, exact=exact, gmin=gmin, ginv=ginv)
 
 
+def _sorted_budget_epilogue(g_packed, tgt, group_size, pids, codes, ids,
+                            norms, q, k: int, kk: int, metric: str,
+                            slot_mult: int, levels: int, dedup: bool,
+                            pool_factor: int = 1, merge: str = "pallas",
+                            interpret: bool = False, exact: bool = True,
+                            gmin=None, ginv=None):
+    """v11b epilogue: SORTED placement for BUDGETED masked scans.
+
+    _sorted_epilogue's take trick needs every query to own exactly nprobe
+    rows (dense), so masked APS plans have been stuck with the v10 row
+    scatter into a [B*M+1, kk] destination. Here the per-query row counts
+    are VARIABLE but known (c_b = valid pids per plan row), so the same
+    one-sort-one-take structure works with an offset table instead of a
+    fixed stride:
+
+      * sort rows by uint32 key (query << r_bits) | row — query-major,
+        and within a query by row index, which is the pid-ascending group
+        order of build_groups_budget;
+      * query b's c_b rows land contiguously at [cum_b, cum_b + c_b);
+      * take position cum_b + j for pool column j (gated by j < c_b) —
+        one [B*W, kk] row take from the [R, kk] kernel output, no scatter,
+        no B*M-sized destination.
+
+    Pool column j of query b holds its j-th SMALLEST planned pid (ghost
+    pids keep their rows, values masked to -1 via group_size, exactly like
+    v11 dense), so pid_cols is the ascending sort of the planned pids."""
+    B, W = pids.shape
+    n = B * W
+    rows = g_packed.reshape(-1, g_packed.shape[-1])  # [R, kk]
+    R = rows.shape[0]
+    qt = R // group_size.shape[0]
+    r_bits = max((R - 1).bit_length(), 1)
+    alive = jnp.repeat(group_size > 0, qt)  # ghost values -> -1, rows kept
+    rows = jnp.where(alive[:, None], rows, -1.0)
+    tgt_flat = tgt.reshape(-1)
+    iota = jnp.arange(R, dtype=jnp.uint32)
+    qsf = (tgt_flat // W).astype(jnp.uint32)
+    key2 = jnp.where(tgt_flat < n, (qsf << r_bits) | iota,
+                     jnp.uint32(0xFFFFFFFF))
+    ks = jnp.sort(key2)
+    r_sorted = (ks & jnp.uint32((1 << r_bits) - 1)).astype(jnp.int32)  # [R]
+    c_b = jnp.sum((pids >= 0).astype(jnp.int32), axis=1)  # [B]
+    cum = jnp.cumsum(c_b) - c_b  # exclusive prefix: query b's first row
+    j_lane = jnp.arange(W, dtype=jnp.int32)[None, :]
+    gate = j_lane < c_b[:, None]  # [B, W]
+    pos = jnp.clip(cum[:, None] + j_lane, 0, R - 1)
+    r_final = jnp.where(gate, r_sorted[pos], 0).reshape(-1)
+    m_rows = jnp.take(rows, r_final, axis=0)  # [B*W, kk]
+    m_packed = jnp.where(gate.reshape(-1)[:, None], m_rows, -1.0)
+    m_packed = m_packed.reshape(B, W * kk)
+    sorted_pids = jnp.sort(jnp.where(pids >= 0, pids, jnp.int32(2**30)),
+                           axis=1)
+    pid_cols = jnp.where(gate, sorted_pids, -1)
+    return _pool_tail(m_packed, pid_cols, pids, codes, ids, norms, q, k,
+                      kk, metric, slot_mult, levels, dedup,
+                      pool_factor=pool_factor, merge=merge,
+                      interpret=interpret, exact=exact, gmin=gmin, ginv=ginv)
+
+
 def _pool_tail(m_packed, pid_cols, pids, codes, ids, norms, q, k: int,
                kk: int, metric: str, slot_mult: int, levels: int,
                dedup: bool, pool_factor: int = 1, merge: str = "pallas",
@@ -1712,6 +1771,145 @@ def grouped_scan_pallas_v11(codes, ids, sizes, norms, q, pids, k: int,
                             dedup, pool_factor=pool_factor, merge=merge,
                             interpret=interpret, exact=exact,
                             gmin=gmin, ginv=ginv)
+
+
+def budget_sort_key_fits(B: int, M: int, n_bud: int, P: int, qt: int,
+                         gpb: int) -> bool:
+    """True when the v11b sorted-placement uint32 key (query << r_bits) |
+    row fits strictly below the 0xFFFFFFFF invalid marker for a budgeted
+    grid of n_bud pairs (see _sorted_budget_epilogue / v11 guard)."""
+    from quake_tpu.ops.grouped import budget_layout
+
+    G = budget_layout(min(n_bud, B * M), P, qt)
+    Gn = -(-G // gpb) * gpb
+    r_bits = max((Gn * qt - 1).bit_length(), 1)
+    qs_bits = max((B - 1).bit_length(), 1)
+    return r_bits + qs_bits < 32
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "metric", "qt", "gpb", "fold", "dedup",
+                     "pool_factor", "bounds", "merge", "interpret", "exact",
+                     "pair_budget", "placement"),
+)
+def grouped_scan_pallas_v10b(codes, ids, sizes, norms, q, pids, k: int,
+                             metric: str, pair_budget: int, qt: int = 64,
+                             gpb: int = 4, fold: int = 128,
+                             dedup: bool = False, pool_factor: int = 1,
+                             bounds: str = "analytic", merge: str = "pallas",
+                             interpret: bool = False, exact: bool = True,
+                             placement: str = "scatter"):
+    """v10b: the v10 scatter path with machinery sized to a PAIR BUDGET
+    (VERDICT r3 #4 — the flat-pair-list grouped scan).
+
+    On the masked APS path most of the [B, M] candidate matrix is -1: the
+    plan scans a per-query prefix whose mean is far below M. v10 still
+    sizes the group tables, the kernel grid (ghost steps are pl.when-
+    skipped but still iterate), and the row scatter to B*M pairs. Here
+    build_groups_budget truncates the sorted pair order at pair_budget, so
+    all of that scales with the budget; only the initial packed sort and
+    the [B*M+1, kk] scatter destination remain M-proportional.
+
+    CONTRACT: valid pairs <= pair_budget (enforced by aps_oneshot's plan
+    clipping; excess pairs would be dropped). Same returns/semantics as
+    v10 otherwise.
+
+    placement="sorted" (v11b) swaps the row scatter for the sorted
+    placement (_sorted_budget_epilogue): one uint32 sort + one [B*W, kk]
+    row take replace the [B*M+1, kk] scatter destination — the masked-path
+    analog of the v10 -> v11 win. Requires the sort key to fit uint32
+    (budget_sort_key_fits); pool columns come out in ascending-pid order
+    (membership identical, lane order differs)."""
+    from quake_tpu.ops.grouped import budget_layout, build_groups_budget
+
+    B, D = q.shape
+    P, C, _ = codes.shape
+    if P >= 32768 or C > 65536:
+        raise ValueError("v10b packs (pid, slot) into int32: needs P < 32768, C <= 65536")
+    if C % fold:
+        raise ValueError(f"v10b needs C % fold == 0 (C={C}, fold={fold})")
+    n_bud = min(pair_budget, B * pids.shape[1])
+    kk = min(k, C)
+    slot_mult = max(1 << (int(C - 1).bit_length()), 2)
+    levels = (1 << 24) // slot_mult - 2
+
+    qf = q.astype(jnp.float32)
+    gmin, grange = _global_bounds(qf, codes, norms, sizes, metric, bounds)
+    ginv = float(levels) / grange
+    q_coef = 2.0 * ginv if metric == "l2" else ginv
+    normsT = ((norms if metric == "l2" else jnp.zeros_like(norms)) + gmin) * ginv
+
+    group_pid, qlist, tgt = build_groups_budget(pids, P, qt, n_bud)
+    G = budget_layout(n_bud, P, qt)
+    Gn = -(-G // gpb) * gpb
+    gp = jnp.pad(group_pid, (0, Gn - G), constant_values=-1)
+    ql = jnp.pad(qlist, ((0, Gn - G), (0, 0)), constant_values=-1)
+    tgt = jnp.pad(tgt, ((0, Gn - G), (0, 0)),
+                  constant_values=B * pids.shape[1])
+    group_size = jnp.where(gp >= 0, sizes[jnp.maximum(gp, 0)], 0).astype(jnp.int32)
+    if placement == "sorted":
+        if not budget_sort_key_fits(B, pids.shape[1], pair_budget, P, qt, gpb):
+            raise ValueError(
+                f"v11b sort key overflows uint32 (B={B}, rows={Gn * qt}); "
+                "use placement='scatter'")
+        # Ghost rows KEEP their pair slot (the sorted placement counts one
+        # row per valid pair); their stale values are masked via group_size
+        # in the epilogue, exactly like v11 dense.
+    else:
+        # Ghost-skipped groups leave stale VMEM in the joint-select scratch
+        # — route their rows to the discard slot (v10 convention).
+        tgt = jnp.where((group_size > 0)[:, None], tgt, B * pids.shape[1])
+    safe_q = jnp.where(ql >= 0, ql, 0)
+    qg = (qf * q_coef).astype(codes.dtype)[safe_q]
+
+    def slab_spec(j):
+        return pl.BlockSpec(
+            (1, C, D), lambda g, gp_, gs: (jnp.maximum(gp_[gpb * g + j], 0), 0, 0)
+        )
+
+    def norms_spec(j):
+        return pl.BlockSpec(
+            (1, 1, C), lambda g, gp_, gs: (jnp.maximum(gp_[gpb * g + j], 0), 0, 0)
+        )
+
+    kernel = _v9_kernel(kk, slot_mult, levels, gpb, fold)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(Gn // gpb,),
+        in_specs=(
+            [pl.BlockSpec((gpb, qt, D), lambda g, gp_, gs: (g, 0, 0))]
+            + [slab_spec(j) for j in range(gpb)]
+            + [norms_spec(j) for j in range(gpb)]
+        ),
+        out_specs=[
+            pl.BlockSpec((gpb, qt, kk), lambda g, gp_, gs: (g, 0, 0)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((gpb * qt, fold), jnp.float32),
+            pltpu.VMEM((gpb * qt, fold), jnp.float32),
+        ],
+    )
+    out_shape = [jax.ShapeDtypeStruct((Gn, qt, kk), jnp.float32)]
+    (g_packed,) = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(gp, group_size, qg, *([codes] * gpb), *([normsT.reshape(P, 1, C)] * gpb))
+
+    if placement == "sorted":
+        return _sorted_budget_epilogue(g_packed, tgt, group_size, pids,
+                                       codes, ids, norms, q, k, kk, metric,
+                                       slot_mult, levels, dedup,
+                                       pool_factor=pool_factor, merge=merge,
+                                       interpret=interpret, exact=exact,
+                                       gmin=gmin, ginv=ginv)
+    return _scatter_epilogue(g_packed, tgt, pids, codes, ids, norms, q, k,
+                             kk, metric, slot_mult, levels, dedup,
+                             pool_factor=pool_factor, merge=merge,
+                             interpret=interpret, exact=exact,
+                             gmin=gmin, ginv=ginv)
 
 
 def _v4_kernel(metric: str, k: int, slot_mult: int, levels: int, gpb: int,

@@ -141,15 +141,15 @@ def _local_grouped_chunk(codes_l, ids_l, norms_l, q_l, k, metric, qt,
 
     if strategy == "slot":
 
-        def scan_chunk(eff):
+        def scan_chunk(eff, pair_budget=0):
             s, i, _ = grouped_scan(codes_l, ids_l, sizes_l, norms_l, q_l,
                                    eff, k, metric, qt, group_chunk, kernel,
-                                   exact=exact)
+                                   exact=exact, pair_budget=pair_budget)
             return _merge_gathered(s, i, k, SHARD_AXIS)
 
     else:
 
-        def scan_chunk(eff):
+        def scan_chunk(eff, pair_budget=0):
             dev = lax.axis_index(SHARD_AXIS)
             p_local = codes_l.shape[0]
             local_idx = eff - dev.astype(jnp.int32) * p_local
@@ -157,7 +157,7 @@ def _local_grouped_chunk(codes_l, ids_l, norms_l, q_l, k, metric, qt,
             leff = jnp.where(owned, local_idx, -1)
             s, i, _ = grouped_scan(codes_l, ids_l, sizes_l, norms_l, q_l,
                                    leff, k, metric, qt, group_chunk, kernel,
-                                   exact=exact)
+                                   exact=exact, pair_budget=pair_budget)
             return _merge_gathered(s, i, k, SHARD_AXIS)
 
     return scan_chunk
@@ -301,7 +301,8 @@ def sharded_aps_search_oneshot(mesh, codes, ids, centroids, q, pids,
                                strategy: str | None = None, gamma=None,
                                plan_margin: int = 4,
                                norms=None, kernel: str = "xla",
-                               exact: bool = True):
+                               exact: bool = True,
+                               width_clip: int = 0, budget_w: int = 0):
     """Oneshot APS over the mesh: predicted-radius probe plan -> ONE masked
     scan (see coordinator.aps_search_oneshot). The plan is computed from
     replicated inputs (centroids, pids, the calibrated radius model), so
@@ -336,6 +337,7 @@ def sharded_aps_search_oneshot(mesh, codes, ids, centroids, q, pids,
             q_l, pids_l, boundary, valid, table_l, recall_target, k, metric,
             dimension, use_precomputed, scan_chunk, cents, radius_a,
             radius_b, gamma=gamma, plan_margin=plan_margin,
+            width_clip=width_clip, budget_w=budget_w,
         )
 
     if strategy == "slot":

@@ -453,3 +453,108 @@ def test_aps_dequantized_serving_wiring():
                          exact_distances=True),
         )
         assert np.array_equal(np.asarray(res.ids), np.asarray(res_e.ids)), mode
+
+
+def test_aps_oneshot_budget_plan_clipping():
+    """aps_oneshot's flat-pair-budget plan math: per-query plans clip to
+    width_clip, and the batch total is GUARANTEED <= B*budget_w via the
+    above-floor scale-down — even when raw plans would massively overflow
+    the budget. The scan closure receives the static pair budget."""
+    from quake_tpu.coordinator import aps_oneshot, aps_setup
+    from quake_tpu.geometry import beta_table
+
+    rng = np.random.default_rng(11)
+    B, M, D, P, k = 32, 16, 8, 64, 5
+    q = jnp.asarray(rng.standard_normal((B, D)).astype(np.float32))
+    cents = jnp.asarray(rng.standard_normal((P, D)).astype(np.float32))
+    pids = jnp.asarray(
+        np.stack([rng.choice(P, M, replace=False) for _ in range(B)])
+        .astype(np.int32))
+    table = beta_table(D, "l2")
+    boundary, valid, table = aps_setup(q, cents, pids, D, True, table)
+
+    recorded = {}
+
+    def scan_chunk(eff, pair_budget=0):
+        recorded["eff"] = np.asarray(eff)
+        recorded["budget"] = pair_budget
+        W = eff.shape[1]
+        return (jnp.zeros((B, k), jnp.float32),
+                jnp.zeros((B, k), jnp.int32))
+
+    # A huge radius forces every plan to the full width M; tight budget
+    # must scale the plans down to fit.
+    wclip, bw = 8, 6
+    _, _, scanned = aps_oneshot(
+        q, pids, boundary, valid, table, jnp.float32(0.99), k, "l2", D,
+        True, scan_chunk, cents, jnp.float32(100.0), jnp.float32(0.0),
+        width_clip=wclip, budget_w=bw)
+    eff = recorded["eff"]
+    assert eff.shape == (B, wclip)
+    assert recorded["budget"] == B * bw
+    per_q = (eff >= 0).sum(axis=1)
+    assert per_q.max() <= wclip
+    assert per_q.sum() <= B * bw
+    assert (per_q >= 1).all()  # never below the plan floor
+    np.testing.assert_array_equal(np.asarray(scanned), per_q)
+
+    # Without the budget the same plan scans the full candidate width.
+    _, _, scanned0 = aps_oneshot(
+        q, pids, boundary, valid, table, jnp.float32(0.99), k, "l2", D,
+        True, scan_chunk, cents, jnp.float32(100.0), jnp.float32(0.0))
+    assert recorded["eff"].shape == (B, M)
+    assert recorded["budget"] == 0
+    assert int(np.asarray(scanned0).sum()) == B * M
+
+
+def test_aps_oneshot_budget_end_to_end(tmp_path):
+    """Index-level flat-pair-budget path: calibration picks (width_clip,
+    budget_w) only when the adherence gate holds with them active, the
+    fields persist through save/load, and budgeted oneshot serving still
+    meets the target."""
+    from quake_tpu import IndexBuildParams, QuakeIndex, SearchParams
+    from quake_tpu.utils import compute_recall, knn
+
+    rng = np.random.default_rng(17)
+    x = rng.standard_normal((20_000, 32)).astype(np.float32)
+    q = rng.standard_normal((20, 32)).astype(np.float32)
+    ids = np.arange(20_000, dtype=np.int64)
+    idx = QuakeIndex()
+    idx.build(x, ids, IndexBuildParams(nlist=200, metric="l2"))
+    gt, _ = knn(q, x, 10, "l2")
+
+    if idx.aps_budget_w:
+        assert idx.aps_width_clip >= idx.aps_budget_w > 0
+        res = idx.search(
+            q, SearchParams(k=10, recall_target=0.9,
+                            initial_search_fraction=0.5,
+                            aps_mode="oneshot"))
+        achieved = compute_recall(res.ids, gt, 10)
+        assert achieved >= 0.85, f"budgeted oneshot achieved {achieved}"
+        p = tmp_path / "budget_idx"
+        idx.save(str(p))
+        idx2 = QuakeIndex()
+        idx2.load(str(p))
+        assert idx2.aps_budget_w == idx.aps_budget_w
+        assert idx2.aps_width_clip == idx.aps_width_clip
+
+
+def test_aps_entrypoint_flags_are_static():
+    """Every boolean/int flag that gates Python-level control flow inside
+    the jitted search entry points must be in static_argnames — a traced
+    `exact` compiles fine on the xla backend (which ignores it) but breaks
+    the Pallas dispatch on TPU (round-4 sharded-parity run caught exactly
+    that on aps_search_oneshot)."""
+    import quake_tpu.coordinator as C
+
+    expect = {
+        C.aps_search: {"exact", "kernel", "qt"},
+        C.aps_search_planned: {"exact", "kernel", "qt", "plan_margin"},
+        C.aps_search_oneshot: {"exact", "kernel", "qt", "plan_margin",
+                               "width_clip", "budget_w"},
+        C.fused_ivf_search: {"exact", "kernel", "qt", "dedup"},
+    }
+    for fn, names in expect.items():
+        static = set(fn._jit_info.static_argnames)
+        missing = names - static
+        assert not missing, (fn, missing)

@@ -783,3 +783,98 @@ def test_v10_dedup_dequantized():
         assert set(i1[b].tolist()) == set(i2[b].tolist()), b
         vs = s2[b][i2[b] >= 0]
         assert (np.diff(vs) <= 1e-6).all()  # descending scores
+
+
+def test_v10b_budget_matches_v10_masked():
+    """v10b (flat-pair-list budget, VERDICT r3 #4) on a masked APS-style
+    candidate matrix must match v10 exactly when the budget holds all valid
+    pairs — for both a generous and an exactly-tight budget, in exact and
+    dequantized-score modes, including partially-filled partitions."""
+    from quake_tpu.ops.pallas_grouped import (grouped_scan_pallas_v10,
+                                              grouped_scan_pallas_v10b)
+
+    rng = np.random.default_rng(31)
+    P, C, D, B, M, k, qt = 32, 128, 16, 48, 12, 5, 8
+    codes = rng.standard_normal((P, C, D)).astype(np.float32)
+    ids = np.arange(P * C, dtype=np.int32).reshape(P, C)
+    sizes = rng.integers(C // 2, C + 1, P).astype(np.int32)
+    for p in range(P):
+        ids[p, sizes[p]:] = -1
+    norms = (codes ** 2).sum(axis=2)
+    q = rng.standard_normal((B, D)).astype(np.float32)
+    base = np.stack([rng.choice(P, M, replace=False) for _ in range(B)])
+    n_b = rng.integers(2, M + 1, B)
+    lane = np.arange(M)[None, :]
+    pids = np.where(lane < n_b[:, None], base, -1).astype(np.int32)
+    n_valid = int((pids >= 0).sum())
+
+    args = (jnp.asarray(codes), jnp.asarray(ids), jnp.asarray(sizes),
+            jnp.asarray(norms), jnp.asarray(q), jnp.asarray(pids), k, "l2")
+    kw = dict(qt=qt, gpb=2, interpret=True)
+    s0, i0, c0 = grouped_scan_pallas_v10(*args, **kw)
+    for bud in (((n_valid + 7) // 8) * 8, n_valid):
+        s1, i1, c1 = grouped_scan_pallas_v10b(*args, pair_budget=bud, **kw)
+        np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
+        np.testing.assert_allclose(np.asarray(s0), np.asarray(s1),
+                                   rtol=1e-4, atol=1e-4)
+        np.testing.assert_array_equal(np.asarray(c0), np.asarray(c1))
+    _, i2, _ = grouped_scan_pallas_v10b(*args, pair_budget=n_valid,
+                                        exact=False, **kw)
+    np.testing.assert_array_equal(np.asarray(i0), np.asarray(i2))
+
+
+def test_v11b_sorted_budget_matches_scatter_masked():
+    """v11b (budgeted SORTED placement) on a masked APS-style candidate
+    matrix with ghost (size-0) partitions and duplicate pids: membership
+    must match the budgeted scatter path (same kernel, same quantized keys
+    — only the pool lane order differs), scanned counts must be identical,
+    and the dequantized-score mode must preserve ids. This is the masked
+    analog of the v10-vs-v11 dense equivalence."""
+    from quake_tpu.ops.pallas_grouped import (budget_sort_key_fits,
+                                              grouped_scan_pallas_v10b)
+
+    rng = np.random.default_rng(37)
+    P, C, D, B, M, k, qt = 32, 128, 16, 48, 12, 5, 8
+    codes = rng.standard_normal((P, C, D)).astype(np.float32)
+    ids = np.arange(P * C, dtype=np.int32).reshape(P, C)
+    sizes = rng.integers(C // 2, C + 1, P).astype(np.int32)
+    sizes[3] = 0  # ghost partitions: valid pairs pointing at empty slabs
+    sizes[17] = 0
+    for p in range(P):
+        ids[p, sizes[p]:] = -1
+    norms = (codes ** 2).sum(axis=2)
+    q = rng.standard_normal((B, D)).astype(np.float32)
+    base = np.stack([rng.choice(P, M, replace=False) for _ in range(B)])
+    n_b = rng.integers(2, M + 1, B)
+    lane = np.arange(M)[None, :]
+    pids = np.where(lane < n_b[:, None], base, -1).astype(np.int32)
+    pids[::5, 1] = pids[::5, 0]  # duplicate pid inside some probe rows
+    n_valid = int((pids >= 0).sum())
+
+    assert budget_sort_key_fits(B, M, n_valid, P, qt, 2)
+    args = (jnp.asarray(codes), jnp.asarray(ids), jnp.asarray(sizes),
+            jnp.asarray(norms), jnp.asarray(q), jnp.asarray(pids), k, "l2")
+    kw = dict(qt=qt, gpb=2, interpret=True)
+    for bud in (((n_valid + 7) // 8) * 8, n_valid):
+        s0, i0, c0 = grouped_scan_pallas_v10b(
+            *args, pair_budget=bud, placement="scatter", **kw)
+        s1, i1, c1 = grouped_scan_pallas_v10b(
+            *args, pair_budget=bud, placement="sorted", **kw)
+        np.testing.assert_array_equal(np.asarray(c0), np.asarray(c1))
+        i0n, i1n = np.asarray(i0), np.asarray(i1)
+        s0n, s1n = np.asarray(s0), np.asarray(s1)
+        for b in range(B):
+            # Same quantized keys on both paths; lane order differs, so
+            # membership can swap only at a quantization tie.
+            s0b, s1b = set(i0n[b].tolist()), set(i1n[b].tolist())
+            assert len(s0b & s1b) >= len(s0b) - 1, (b, i0n[b], i1n[b])
+            if s0b == s1b:
+                np.testing.assert_allclose(np.sort(s0n[b]), np.sort(s1n[b]),
+                                           rtol=1e-4, atol=1e-4)
+    _, i2, c2 = grouped_scan_pallas_v10b(
+        *args, pair_budget=n_valid, placement="sorted", exact=False, **kw)
+    np.testing.assert_array_equal(np.asarray(c0), np.asarray(c2))
+    i2n = np.asarray(i2)
+    for b in range(B):
+        s1b, s2b = set(np.asarray(i1)[b].tolist()), set(i2n[b].tolist())
+        assert len(s1b & s2b) >= len(s1b) - 1, b
