@@ -49,6 +49,7 @@ JOBS = [
     # the v11b sorted-budget epilogue landed):
     ("bench_256", [sys.executable, "bench.py"], 4200),
     ("aps_v11b_ab", [sys.executable, "experiments/aps_v11b_ab.py"], 4800),
+    ("nlist_sweep5", [sys.executable, "experiments/nlist_sweep5.py"], 5400),
 ]
 
 
