@@ -456,8 +456,9 @@ class QuakeIndex:
             m = int(max(16, -(-int(f * mean_plan) // 8) * 8))
             if m < pids.shape[1] and m not in cands_m:
                 cands_m.append(m)
+        sc_at_width = sc  # scanned counts at the serving width (see below)
         for mcap in cands_m:
-            _, ids32, _ = coordinator.aps_search_oneshot(
+            _, ids32, sc_m = coordinator.aps_search_oneshot(
                 state.codes, state.ids, state.centroids, q,
                 pids[:, :mcap],
                 jnp.float32(target), k=k + 1, metric=self.metric,
@@ -472,35 +473,34 @@ class QuakeIndex:
             got = _drop_self(np.asarray(ids32).astype(np.int64), self_ids, k)
             if compute_recall(got, gt, k) >= goal:
                 self.aps_oneshot_mcap = mcap
+                sc_at_width = sc_m
                 break
 
         # Flat-pair budget (VERDICT r3 #4): the masked scan still sizes its
         # grouping/grid/scatter machinery to B*M pairs while plans cover a
         # much smaller prefix. Calibrate (width_clip, budget_w) so serving
-        # can run the budgeted path (grouped_scan_pallas_v10b): width_clip
-        # bounds any single plan (p99-of-scanned, multiple of 8), budget_w
-        # bounds the batch total per query (mean-based, multiple of 4;
-        # overflow scale-down sheds the lowest-probability tail ranks).
-        # Each candidate is validated END-TO-END with the budget active —
-        # the tax cut is measured, the adherence is gated.
+        # can run the budgeted path (grouped_scan_pallas_v10b/v11b):
+        # width_clip bounds any single plan (p99-of-scanned, multiple of
+        # 8), budget_w bounds the batch total per query (mean-based,
+        # multiple of 4; overflow scale-down sheds the lowest-probability
+        # tail ranks). Each candidate is validated END-TO-END with the
+        # budget active — the tax cut is measured, the adherence is gated.
+        #
+        # Pallas kernels only: the xla fallback ignores pair_budget, so on
+        # that path plan clipping would carry recall risk with zero
+        # machinery benefit — and each candidate here is a fresh jit
+        # compile (static width_clip/budget_w), which made the CPU test
+        # suite pay minutes per calibrated build for a path it never
+        # serves.
         self.aps_budget_w = 0
         self.aps_width_clip = 0
+        if not self._grouped_kernel().startswith(("v10", "v11")):
+            return
         W = self.aps_oneshot_mcap or pids.shape[1]
-        _, ids32, sc_b = coordinator.aps_search_oneshot(
-            state.codes, state.ids, state.centroids, q, pids[:, :W],
-            jnp.float32(target), k=k + 1, metric=self.metric,
-            dimension=self.aps_dimension or self.d(),
-            radius_a=jnp.float32(ra), radius_b=jnp.float32(rb),
-            use_precomputed=True, table=table,
-            qt=32, kernel=self._grouped_kernel(),
-            sizes=state.sizes, norms=state.norms,
-            gamma=(jnp.float32(self.aps_gamma)
-                   if self.aps_gamma != 1.0 else None),
-        )
-        sc_np = np.asarray(sc_b, np.float64)
+        sc_np = np.asarray(sc_at_width, np.float64)
         wclip = int(min(-(-int(np.quantile(sc_np, 0.99) + 4) // 8) * 8, W))
         mean_sc = float(sc_np.mean())
-        for f in (1.15, 1.4, 1.8):
+        for f in (1.15, 1.5):
             bw = int(min(-(-int(f * mean_sc + 2) // 4) * 4, wclip))
             _, ids32, _ = coordinator.aps_search_oneshot(
                 state.codes, state.ids, state.centroids, q, pids[:, :W],

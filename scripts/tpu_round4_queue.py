@@ -44,12 +44,14 @@ JOBS = [
     ("donation_check", [sys.executable, "scripts/tpu_donation_check.py"], 1800),
     ("kernel_ab31", [sys.executable, "experiments/kernel_ab31.py"], 3600),
     ("nlist_sweep4", [sys.executable, "experiments/nlist_sweep4.py"], 5400),
-    ("bench_10m", [sys.executable, "bench_suite.py", "--configs", "10m"], 5400),
     # Second wave (added mid-round after nlist_sweep4 picked nlist=256 and
-    # the v11b sorted-budget epilogue landed):
+    # the v11b sorted-budget epilogue landed). Ordered above the 10M
+    # refresh: the headline re-cert and the APS tax A/B are worth more,
+    # and the first 10M attempt ran right up against its watchdog.
     ("bench_256", [sys.executable, "bench.py"], 4200),
     ("aps_v11b_ab", [sys.executable, "experiments/aps_v11b_ab.py"], 4800),
     ("nlist_sweep5", [sys.executable, "experiments/nlist_sweep5.py"], 5400),
+    ("bench_10m", [sys.executable, "bench_suite.py", "--configs", "10m"], 7200),
 ]
 
 

@@ -508,10 +508,11 @@ def test_aps_oneshot_budget_plan_clipping():
 
 
 def test_aps_oneshot_budget_end_to_end(tmp_path):
-    """Index-level flat-pair-budget path: calibration picks (width_clip,
-    budget_w) only when the adherence gate holds with them active, the
-    fields persist through save/load, and budgeted oneshot serving still
-    meets the target."""
+    """Index-level flat-pair-budget fields: calibration leaves the budget
+    OFF on the xla kernel (pair_budget is Pallas-only — clipping plans
+    there would carry recall risk with zero machinery benefit, and each
+    candidate is a fresh compile), and the fields persist through
+    save/load for indexes calibrated on a Pallas backend."""
     from quake_tpu import IndexBuildParams, QuakeIndex, SearchParams
     from quake_tpu.utils import compute_recall, knn
 
@@ -523,20 +524,27 @@ def test_aps_oneshot_budget_end_to_end(tmp_path):
     idx.build(x, ids, IndexBuildParams(nlist=200, metric="l2"))
     gt, _ = knn(q, x, 10, "l2")
 
-    if idx.aps_budget_w:
-        assert idx.aps_width_clip >= idx.aps_budget_w > 0
+    # CPU suite serves the xla kernel -> budget calibration must be gated
+    # off (the kernel dispatch would ignore pair_budget anyway).
+    if not idx._grouped_kernel().startswith(("v10", "v11")):
+        assert idx.aps_budget_w == 0 and idx.aps_width_clip == 0
+    if idx.aps_radius_ab is not None:
         res = idx.search(
             q, SearchParams(k=10, recall_target=0.9,
                             initial_search_fraction=0.5,
                             aps_mode="oneshot"))
         achieved = compute_recall(res.ids, gt, 10)
-        assert achieved >= 0.85, f"budgeted oneshot achieved {achieved}"
-        p = tmp_path / "budget_idx"
-        idx.save(str(p))
-        idx2 = QuakeIndex()
-        idx2.load(str(p))
-        assert idx2.aps_budget_w == idx.aps_budget_w
-        assert idx2.aps_width_clip == idx.aps_width_clip
+        assert achieved >= 0.85, f"oneshot achieved {achieved}"
+
+    # Persistence of TPU-calibrated budget fields (set manually here —
+    # the values round-trip regardless of the calibrating backend).
+    idx.aps_width_clip, idx.aps_budget_w = 40, 28
+    p = tmp_path / "budget_idx"
+    idx.save(str(p))
+    idx2 = QuakeIndex()
+    idx2.load(str(p))
+    assert idx2.aps_budget_w == 28 and idx2.aps_width_clip == 40
+    idx.aps_width_clip = idx.aps_budget_w = 0
 
 
 def test_aps_entrypoint_flags_are_static():
