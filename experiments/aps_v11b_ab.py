@@ -131,6 +131,40 @@ def main():
                               "recall": round(rec, 4),
                               "scanned": scanned, "ms": round(ms, 3),
                               "qps": round(B / ms * 1e3)}), flush=True)
+
+    # Small-batch decomposition (STATUS r4 gap #3): oneshot device cost
+    # measured nearly flat in B (7.9ms at B=64/nlist=512 vs 11.5 at
+    # B=4096/nlist=1024) — a large B-independent band. Time the same
+    # variants at B=64 to see whether the budget/sorted machinery (grid +
+    # tables sized to min(n, P) groups) is that band at the production
+    # nlist.
+    q64 = jnp.asarray(queries[:64])
+
+    def step_ms_64(sp):
+        last = idx._search_device_full(q64, sp)
+        _ = np.asarray(last[1]).ravel()[:1]
+        t0 = time.perf_counter()
+        for _ in range(20):
+            last = idx._search_device_full(q64, sp)
+        _ = np.asarray(last[1]).ravel()[:1]
+        est = (time.perf_counter() - t0) / 20
+        reps = max(int(1.2 / max(est, 1e-4)), 20)
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            last = idx._search_device_full(q64, sp)
+        _ = np.asarray(last[1]).ravel()[:1]
+        return (time.perf_counter() - t0) / reps * 1e3
+
+    small = [c for c in cases if c[0] in
+             ("fixed_np12", "oneshot_sorted", "oneshot_scatter",
+              "oneshot_nobudget")]
+    for pass_no in (1, 2):
+        for name, sp, bud, kern in small:
+            configure(bud, kern)
+            ms = step_ms_64(sp)
+            print(json.dumps({"cfg": f"{name}_B64_p{pass_no}",
+                              "ms": round(ms, 3),
+                              "qps": round(64 / ms * 1e3)}), flush=True)
     configure(True, prod_kernel)
     print("done", flush=True)
 
