@@ -643,6 +643,8 @@ class QuakeIndex:
                     k=k, nprobe=parent_k, metric=self.metric,
                     qt=qt, group_chunk=group_chunk,
                     kernel=self._grouped_kernel(), dedup=self.spill,
+                    parent_norms=pstate.norms,
+                    parent_kernel=self._parent_kernel(),
                     exact=bool(sp.exact_distances),
                 )
             timing.partitions_scanned = parent_k
@@ -696,6 +698,24 @@ class QuakeIndex:
         except Exception:
             pass
         return "xla"
+
+    def _parent_kernel(self) -> str:
+        """Parent-ranking backend for the fused fixed-nprobe path.
+
+        "approx" = XLA matmul + approx_max_k; "pallas" = the fused
+        matmul+selection kernel (ops/pallas_flat.parent_rank_pallas).
+        kernel_ab31 (nlist=512, B=8192, v5e): the Pallas parent now WINS
+        (fused 7.78 vs 8.37 ms, parent standalone 1.2 vs 1.6) — the
+        B=4096/nlist=1024 loss (kernel_ab14) did not generalize to the
+        production shape. Auto stays "approx" until the nlist=256 A/B
+        (kernel_ab32) confirms time AND recall parity at the operating
+        point; QUAKE_TPU_PARENT_KERNEL overrides for A/B runs.
+        rank_parents itself falls back to approx when the Pallas
+        preconditions fail (no norms, N % 128 != 0, N > 16384)."""
+        override = os.environ.get("QUAKE_TPU_PARENT_KERNEL")
+        if override:
+            return override
+        return "approx"
 
     def _grouped_params(self, B: int, parent_k: int):
         # qt tracks expected queries-per-partition. Cap 64 since v9: with

@@ -279,3 +279,30 @@ def test_batched_scan_false_is_honored(small_data):
     np.testing.assert_array_equal(np.asarray(r_auto.ids), np.asarray(r_serial.ids))
     np.testing.assert_allclose(np.asarray(r_auto.distances),
                                np.asarray(r_serial.distances), rtol=1e-5, atol=1e-5)
+
+
+def test_parent_kernel_routing(small_data, monkeypatch):
+    """The fused fixed-nprobe path threads the index's parent-ranking
+    backend choice (index._parent_kernel): auto is "approx" off-TPU,
+    QUAKE_TPU_PARENT_KERNEL overrides for A/B runs, and rank_parents falls
+    back to approx when the Pallas preconditions fail (kernel_ab31/32 —
+    the Pallas parent wins at the production batch on v5e)."""
+    from quake_tpu import IndexBuildParams, QuakeIndex
+    from quake_tpu.coordinator import rank_parents
+
+    x, ids, _ = small_data
+    idx = QuakeIndex()
+    idx.build(x, ids, IndexBuildParams(nlist=32))
+    assert idx._parent_kernel() == "approx"
+    monkeypatch.setenv("QUAKE_TPU_PARENT_KERNEL", "pallas")
+    assert idx._parent_kernel() == "pallas"
+
+    # Precondition fallback: pallas request without cached norms returns the
+    # approx ranking unchanged.
+    import jax.numpy as jnp
+
+    ps = idx.parent.store.state
+    q = jnp.asarray(x[:8])
+    a = rank_parents(ps.codes, ps.ids, None, q, 4, idx.metric, "pallas")
+    b = rank_parents(ps.codes, ps.ids, None, q, 4, idx.metric, "approx")
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
