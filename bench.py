@@ -117,7 +117,10 @@ def run_bench():
     # np16 sits exactly at the 0.90 gate, so the extra Lloyd passes decide
     # the serving nprobe (16 vs 18 = ~9% QPS) and damp build-to-build
     # variance. Build cost ~2x; amortized over the index lifetime.
-    niter = int(os.environ.get("QUAKE_BENCH_NITER", 15))
+    # Round 4: 25 at nlist=256 — np11 recall 0.9015 vs 0.9007 at niter=15
+    # (nlist_sweep5), and the np11 gate decides ~12% QPS (1142k vs 1017k);
+    # every extra thousandth of margin de-risks the capture.
+    niter = int(os.environ.get("QUAKE_BENCH_NITER", 25))
     t0 = time.perf_counter()
     idx = QuakeIndex()
     # calibrate_aps=False: the headline measures fixed-nprobe serving; the

@@ -25,7 +25,13 @@ import numpy as np
 from quake_tpu import coordinator
 from quake_tpu.kmeans import kmeans_fit_assign
 from quake_tpu.ops.scan import scores_to_distances
-from quake_tpu.params import IndexBuildParams, MaintenancePolicyParams, SearchParams, check_metric
+from quake_tpu.params import (
+    DEFAULT_INITIAL_SEARCH_FRACTION,
+    IndexBuildParams,
+    MaintenancePolicyParams,
+    SearchParams,
+    check_metric,
+)
 from quake_tpu.storage.store import PartitionStore
 from quake_tpu.timing import (
     BuildTimingInfo,
@@ -91,6 +97,15 @@ class QuakeIndex:
         # (grouped_scan_pallas_v10b). Calibrated with the adherence gate.
         self.aps_budget_w = 0
         self.aps_width_clip = 0
+        # Calibration-validated candidate width for recall-target serving
+        # (0 = uncalibrated). The DEFAULT candidate width must come from
+        # calibration, not a fixed fraction: the reference's 0.02 default
+        # (common.h:81) starves the candidate set at coarse nlist — plans
+        # CANNOT extend past the parent ranking's width, so adherence
+        # silently caps (measured 0.78 @ target 0.9 with W=5 at nlist=256,
+        # aps_v11b_ab r4). Used when SearchParams.initial_search_fraction
+        # is None (auto); an explicit fraction always wins.
+        self.aps_plan_width = 0
         self.spill = False  # SOAR spilled assignment (IndexBuildParams.spill)
         self.soar_lambda = 1.0
         self.latency_profile = None  # profiled (n, k) grid, else analytic
@@ -310,7 +325,10 @@ class QuakeIndex:
             achieved = compute_recall(got, gt, k)
             if achieved >= min(target + margin, 0.995):
                 chosen = int(d_cand)
+                acc_scanned = np.asarray(scanned)
                 break
+        else:
+            acc_scanned = None  # even the widest sweep missed the goal
         self.aps_dimension = chosen
 
         # Second stage: profile-sharpening exponent. The dimension lever
@@ -323,7 +341,7 @@ class QuakeIndex:
         table = beta_table(chosen, "l2")
         goal = min(target + margin, 0.995)
         for g_cand in (1.5, 2.0, 3.0, 4.0, 6.0):
-            _, ids32, _ = coordinator.aps_search(
+            _, ids32, scanned_g = coordinator.aps_search(
                 state.codes, state.ids, state.centroids, q, pids,
                 jnp.float32(target), jnp.float32(0.0),
                 k=k + 1, metric=self.metric, dimension=self.d(), chunk=4,
@@ -336,6 +354,20 @@ class QuakeIndex:
             if compute_recall(got, gt, k) < goal:
                 break
             self.aps_gamma = float(g_cand)
+            acc_scanned = np.asarray(scanned_g)
+
+        # Validated serving width for auto candidate sizing (see
+        # aps_plan_width): p99 of the accepted configuration's in-sample
+        # plan depths, a 1.5x out-of-sample cushion (resident-vector
+        # samples are systematically easier), rounded up to 8, capped at
+        # the calibration width. Plans cannot extend past the candidate
+        # matrix — a width floor is the difference between "adaptive" and
+        # "silently truncated" at coarse nlist (0.78 @ target 0.9 with the
+        # fraction-derived W=5 at nlist=256, aps_v11b_ab r4).
+        if acc_scanned is not None:
+            need = float(np.quantile(acc_scanned.astype(np.float64), 0.99))
+            w = -(-int(need * 1.5) // 8) * 8
+            self.aps_plan_width = int(min(max(w, 8), pids.shape[1]))
 
         # Third stage: oneshot-APS radius predictor (TPU extension; see
         # coordinator.aps_search_oneshot). Fit radius_k ~= alpha_k +
@@ -817,18 +849,39 @@ class QuakeIndex:
             # ranking k=32 candidates over 8-centroid partitions).
             avg_sz = max(self.ntotal() / max(self.nlist(), 1), 1.0)
             min_parts = min(int(np.ceil(2.0 * k / avg_sz)), self.nlist())
-            parent_k = max(
-                int(self.nlist() * sp.initial_search_fraction), min_parts, 1
-            )
-            if aps_mode == "oneshot" and self.aps_oneshot_mcap:
-                # The calibrated width cap bounds how far any plan reaches,
-                # so the parent ranking itself can stop there: the
-                # approx-top-k candidate selection cost grows steeply with
-                # k (k=256 at the default fraction measured ~4.8 ms of the
-                # 11.8 ms oneshot step at B=4096 — aps_oneshot_ab), and
-                # capping it is where the width cap actually pays.
-                parent_k = max(min(parent_k, self.aps_oneshot_mcap),
-                               min_parts, 1)
+            if sp.initial_search_fraction is None:
+                # Auto candidate width: the calibration-validated plan width
+                # (see aps_plan_width) — wide enough that plans are never
+                # silently truncated at coarse nlist, narrow enough that the
+                # parent ranking + masked-scan machinery don't pay for the
+                # full partition list. Uncalibrated indexes fall back to the
+                # reference fraction with a coarse-nlist floor.
+                width = int(self.aps_plan_width or 0)
+                if aps_mode == "oneshot" and self.aps_oneshot_mcap:
+                    # mcap was validated WITH plan clipping applied — it IS
+                    # the oneshot serving width.
+                    width = int(self.aps_oneshot_mcap)
+                if not width:
+                    width = max(
+                        int(self.nlist() * DEFAULT_INITIAL_SEARCH_FRACTION),
+                        min(self.nlist(), 16),
+                    )
+                parent_k = max(min(width, self.nlist()), min_parts, 1)
+            else:
+                parent_k = max(
+                    int(self.nlist() * float(sp.initial_search_fraction)),
+                    min_parts, 1,
+                )
+                if aps_mode == "oneshot" and self.aps_oneshot_mcap:
+                    # The calibrated width cap bounds how far any plan
+                    # reaches, so the parent ranking itself can stop there:
+                    # the approx-top-k candidate selection cost grows
+                    # steeply with k (k=256 at fraction 0.25 measured
+                    # ~4.8 ms of the 11.8 ms oneshot step at B=4096 —
+                    # aps_oneshot_ab), and capping it is where the width
+                    # cap actually pays.
+                    parent_k = max(min(parent_k, self.aps_oneshot_mcap),
+                                   min_parts, 1)
         else:
             parent_k = min(int(sp.nprobe), self.nlist())
         parent_k_padded = min(next_pow2(parent_k, self._nprobe_bucket), self.parent_ntotal())
@@ -1438,6 +1491,7 @@ class QuakeIndex:
             "aps_oneshot_mcap": self.aps_oneshot_mcap,
             "aps_budget_w": self.aps_budget_w,
             "aps_width_clip": self.aps_width_clip,
+            "aps_plan_width": self.aps_plan_width,
             "spill": self.spill,
             "soar_lambda": self.soar_lambda,
             "free_rows": self.store.free_rows,
@@ -1479,6 +1533,7 @@ class QuakeIndex:
         self.aps_oneshot_mcap = meta.get("aps_oneshot_mcap", 0)
         self.aps_budget_w = meta.get("aps_budget_w", 0)
         self.aps_width_clip = meta.get("aps_width_clip", 0)
+        self.aps_plan_width = meta.get("aps_plan_width", 0)
         dtype = jnp.bfloat16 if meta.get("precision") == "bf16" else jnp.float32
 
         from quake_tpu.storage.store import StoreState

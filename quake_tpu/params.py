@@ -164,7 +164,15 @@ class SearchParams:
     use_precomputed: bool = DEFAULT_PRECOMPUTED
     batched_scan: Optional[bool] = DEFAULT_BATCHED_SCAN
     recompute_threshold: float = DEFAULT_RECOMPUTE_THRESHOLD
-    initial_search_fraction: float = DEFAULT_INITIAL_SEARCH_FRACTION
+    # None = auto candidate width for recall-target search: use the
+    # calibration-validated plan width (index.aps_plan_width / the oneshot
+    # mcap) when available, else DEFAULT_INITIAL_SEARCH_FRACTION with a
+    # coarse-nlist floor. An explicit float always wins and reproduces the
+    # reference's capped-candidate-set semantics verbatim (common.h:81 —
+    # the fixed 0.02 default starves the candidate set at coarse nlist:
+    # measured recall 0.78 @ target 0.9 with only W=5 candidates at
+    # nlist=256 on the 1M bench corpus, experiments/aps_v11b_ab r4).
+    initial_search_fraction: Optional[float] = None
     aps_flush_period_us: int = DEFAULT_APS_FLUSH_PERIOD_US
 
     # --- TPU extensions ---

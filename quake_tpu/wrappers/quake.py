@@ -56,7 +56,9 @@ class QuakeWrapper(IndexWrapper):
         recall_target: float = -1.0,
         batched_scan: bool | None = None,  # None = auto (TPU batched path at B >= 16)
         use_precomputed: bool = True,
-        initial_search_fraction: float = 0.02,
+        # None = auto (calibration-validated candidate width); a float
+        # reproduces the reference's fixed-fraction candidate cap.
+        initial_search_fraction: float | None = None,
         recompute_threshold: float = 0.001,
         aps_flush_period_us: int = 100,
         n_threads: int = 1,
@@ -68,7 +70,8 @@ class QuakeWrapper(IndexWrapper):
             recall_target=float(recall_target),
             batched_scan=batched_scan,
             use_precomputed=use_precomputed,
-            initial_search_fraction=float(initial_search_fraction),
+            initial_search_fraction=(None if initial_search_fraction is None
+                                     else float(initial_search_fraction)),
             recompute_threshold=float(recompute_threshold),
             aps_flush_period_us=int(aps_flush_period_us),
             num_threads=int(n_threads),

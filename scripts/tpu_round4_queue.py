@@ -51,6 +51,14 @@ JOBS = [
     ("bench_256", [sys.executable, "bench.py"], 4200),
     ("aps_v11b_ab", [sys.executable, "experiments/aps_v11b_ab.py"], 4800),
     ("nlist_sweep5", [sys.executable, "experiments/nlist_sweep5.py"], 5400),
+    # Third wave (session 2): the Pallas-parent A/B at the production
+    # operating point (kernel_ab31 reversed the round-3 verdict at
+    # nlist=512 — confirm at 256 before flipping the default), and the
+    # coarse-nlist APS adherence re-check after the auto-candidate-width
+    # fix. Both ordered above the long 10M refresh.
+    ("kernel_ab32", [sys.executable, "experiments/kernel_ab32.py"], 3600),
+    ("aps_width_check", [sys.executable, "experiments/aps_width_check.py"],
+     3600),
     ("bench_10m", [sys.executable, "bench_suite.py", "--configs", "10m"], 7200),
 ]
 

@@ -566,3 +566,39 @@ def test_aps_entrypoint_flags_are_static():
         static = set(fn._jit_info.static_argnames)
         missing = names - static
         assert not missing, (fn, missing)
+
+
+def test_auto_width_coarse_nlist_adherence():
+    """Round-4 regression: with the default (auto) initial_search_fraction
+    the APS candidate width must come from calibration, not a fixed
+    fraction of nlist — at coarse nlist the reference's 0.02 default
+    (common.h:81) hands APS a candidate matrix plans cannot extend past
+    (measured 0.78 achieved @ target 0.9 with W=5 at nlist=256 on the 1M
+    bench corpus, experiments/aps_v11b_ab). Uses clustered data at an
+    nlist where 0.02*nlist rounds to ZERO partitions."""
+    from quake_tpu import IndexBuildParams, QuakeIndex, SearchParams
+    from quake_tpu.utils import compute_recall, knn
+
+    rng = np.random.default_rng(3)
+    centers = rng.standard_normal((64, 32)).astype(np.float32) * 3.0
+    assign = rng.integers(0, 64, 20000)
+    x = (centers[assign] + rng.standard_normal((20000, 32))).astype(np.float32)
+    ids = np.arange(20000, dtype=np.int64)
+    q = (centers[rng.integers(0, 64, 128)]
+         + rng.standard_normal((128, 32))).astype(np.float32)
+    gt, _ = knn(q, x, 10, "l2")
+
+    idx = QuakeIndex()
+    idx.build(x, ids, IndexBuildParams(nlist=16, metric="l2"))
+    assert idx.aps_plan_width > 0  # calibration recorded a serving width
+    # 0.02 * 16 -> 0 partitions: the fraction default would starve the
+    # candidate set entirely (min_parts floor leaves ~1).
+    res = idx.search(q, SearchParams(k=10, recall_target=0.9))
+    rec = compute_recall(res.ids, gt, 10)
+    assert rec >= 0.9, rec
+    # An explicit fraction still reproduces the reference's capped
+    # semantics verbatim: one candidate partition caps recall well below
+    # the target.
+    res_cap = idx.search(q, SearchParams(k=10, recall_target=0.9,
+                                         initial_search_fraction=1 / 16))
+    assert res_cap.timing_info.partitions_scanned <= 1
