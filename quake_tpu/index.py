@@ -267,10 +267,39 @@ class QuakeIndex:
         if q.shape[0] < 8:
             return
         state = self.store.state
-        # k+1 then drop the self match: the sample queries ARE resident
-        # vectors, so their rank-0 neighbor is themselves — a free
-        # home-partition hit that inflates calibration recall by ~1/k and
-        # makes the sweep pick an over-confident dimension.
+        # Pseudo-OOS calibration queries (round 4): resident vectors are
+        # systematically EASIER than out-of-store queries — their neighbors
+        # are mutual and concentrate in the home partition, so a resident-
+        # validated profile over-trusts the first ranks (measured on
+        # isotropic random data: resident-validated width hit the goal
+        # in-sample while fresh queries capped at 0.61 @ target 0.9).
+        # Perturb each sample by its exact k-th-neighbor radius in a random
+        # direction: the source point becomes a ~rank-k neighbor and the
+        # query sits BETWEEN corpus points, matching fresh-query hardness
+        # on both clustered and isotropic corpora.
+        sc0, _ = coordinator.flat_search(state.codes, state.ids, q, k + 1,
+                                         self.metric)
+        sc0 = np.asarray(sc0, np.float32)
+        kth0 = sc0[:, k]  # rank-k score; rank 0 is the self match
+        q0_np = np.asarray(q, np.float32)
+        if self.metric == "l2":
+            r_k = np.sqrt(np.maximum(-kth0, 0.0))
+        else:
+            q_sq0 = np.sum(q0_np ** 2, axis=1)
+            r_k = np.sqrt(np.maximum(q_sq0 + 1.0 - 2.0 * kth0, 0.0))
+        prng = np.random.default_rng(0)
+        gdir = prng.standard_normal(q0_np.shape).astype(np.float32)
+        gdir /= np.maximum(np.linalg.norm(gdir, axis=1, keepdims=True), 1e-9)
+        q_pert = q0_np + r_k[:, None] * gdir
+        if self.metric == "ip":
+            # Unit-norm corpora stay on the sphere.
+            q_pert /= np.maximum(
+                np.linalg.norm(q_pert, axis=1, keepdims=True), 1e-9)
+        q = jnp.asarray(q_pert)
+        # k+1 then drop the source match: the source point is still an
+        # unfairly-close neighbor of its perturbed query — a free
+        # home-partition hit that would inflate calibration recall by ~1/k
+        # and make the sweep pick an over-confident dimension.
         _, gt32 = coordinator.flat_search(state.codes, state.ids, q, k + 1,
                                           self.metric)
         gt = _drop_self(np.asarray(gt32).astype(np.int64), self_ids, k)
@@ -297,38 +326,48 @@ class QuakeIndex:
         cands = np.unique(
             np.round(np.geomspace(d_lo, d_hi, 8)).astype(int)
         )[::-1]
-        sp = SearchParams(k=k, recall_target=target, initial_search_fraction=0.25,
-                          recompute_threshold=0.0, aps_chunk_size=4)
-        parent_k = max(int(self.nlist() * sp.initial_search_fraction), 1)
-        parent_k_padded = min(next_pow2(parent_k, self._nprobe_bucket),
-                              self.parent_ntotal())
-        psp = SearchParams(k=parent_k_padded, batched_scan=True)
-        _, p_ids32, _ = self.parent._search_device(q, psp)
-        pids = p_ids32[:, :parent_k] if parent_k < p_ids32.shape[1] else p_ids32
-
+        goal0 = min(target + margin, 0.995)
         chosen = int(cands[-1])
+        acc_scanned = None
+        seen_w = set()
         # Calibrate with the PRODUCTION kernel and a small margin over the
-        # target: resident-vector samples are still slightly easier than
-        # out-of-store queries even with the self match excluded (margin set
-        # per metric above).
-        for d_cand in cands:
-            table = beta_table(int(d_cand), "l2")
-            scores, ids32, scanned = coordinator.aps_search(
-                state.codes, state.ids, state.centroids, q, pids,
-                jnp.float32(target), jnp.float32(0.0),
-                k=k + 1, metric=self.metric, dimension=self.d(), chunk=4,
-                use_precomputed=True, table=table,
-                kernel=self._grouped_kernel(),
-                sizes=state.sizes, norms=state.norms,
-            )
-            got = _drop_self(np.asarray(ids32).astype(np.int64), self_ids, k)
-            achieved = compute_recall(got, gt, k)
-            if achieved >= min(target + margin, 0.995):
-                chosen = int(d_cand)
-                acc_scanned = np.asarray(scanned)
+        # target (margin set per metric above). The candidate width
+        # ESCALATES when even the most conservative model dimension misses
+        # the goal — plans cannot extend past the candidate matrix, so a
+        # too-narrow calibration width would cap the sweep (and therefore
+        # aps_plan_width) below what hard corpora need: isotropic random
+        # data at d=64 needs ~0.75*nlist candidates for target 0.9 while
+        # clustered corpora need a few percent.
+        for frac_c in (0.25, 0.5, 1.0):
+            parent_k = max(int(self.nlist() * frac_c), 1)
+            if parent_k in seen_w:
+                continue
+            seen_w.add(parent_k)
+            parent_k_padded = min(next_pow2(parent_k, self._nprobe_bucket),
+                                  self.parent_ntotal())
+            psp = SearchParams(k=parent_k_padded, batched_scan=True)
+            _, p_ids32, _ = self.parent._search_device(q, psp)
+            pids = (p_ids32[:, :parent_k]
+                    if parent_k < p_ids32.shape[1] else p_ids32)
+            for d_cand in cands:
+                table = beta_table(int(d_cand), "l2")
+                scores, ids32, scanned = coordinator.aps_search(
+                    state.codes, state.ids, state.centroids, q, pids,
+                    jnp.float32(target), jnp.float32(0.0),
+                    k=k + 1, metric=self.metric, dimension=self.d(), chunk=4,
+                    use_precomputed=True, table=table,
+                    kernel=self._grouped_kernel(),
+                    sizes=state.sizes, norms=state.norms,
+                )
+                got = _drop_self(np.asarray(ids32).astype(np.int64),
+                                 self_ids, k)
+                achieved = compute_recall(got, gt, k)
+                if achieved >= goal0:
+                    chosen = int(d_cand)
+                    acc_scanned = np.asarray(scanned)
+                    break
+            if acc_scanned is not None:
                 break
-        else:
-            acc_scanned = None  # even the widest sweep missed the goal
         self.aps_dimension = chosen
 
         # Second stage: profile-sharpening exponent. The dimension lever
@@ -739,14 +778,20 @@ class QuakeIndex:
         kernel_ab31 (nlist=512, B=8192, v5e): the Pallas parent now WINS
         (fused 7.78 vs 8.37 ms, parent standalone 1.2 vs 1.6) — the
         B=4096/nlist=1024 loss (kernel_ab14) did not generalize to the
-        production shape. Auto stays "approx" until the nlist=256 A/B
-        (kernel_ab32) confirms time AND recall parity at the operating
-        point; QUAKE_TPU_PARENT_KERNEL overrides for A/B runs.
+        production shape. kernel_ab32 confirmed at the nlist=256 operating
+        point: fused 7.86 vs 8.13 ms pass-2 (+3.4%), probed-set overlap
+        1.0, recall identical — so auto is "pallas" on real TPU backends
+        since round 4. QUAKE_TPU_PARENT_KERNEL overrides for A/B runs.
         rank_parents itself falls back to approx when the Pallas
         preconditions fail (no norms, N % 128 != 0, N > 16384)."""
         override = os.environ.get("QUAKE_TPU_PARENT_KERNEL")
         if override:
             return override
+        try:
+            if jax.default_backend() == "tpu":
+                return "pallas"
+        except Exception:
+            pass
         return "approx"
 
     def _grouped_params(self, B: int, parent_k: int):

@@ -293,7 +293,15 @@ def test_parent_kernel_routing(small_data, monkeypatch):
     x, ids, _ = small_data
     idx = QuakeIndex()
     idx.build(x, ids, IndexBuildParams(nlist=32))
+    assert idx._parent_kernel() == "approx"  # CPU backend: approx
+    import jax as _jax
+
+    monkeypatch.setattr(_jax, "default_backend", lambda: "tpu")
+    assert idx._parent_kernel() == "pallas"  # auto flips on real TPU (ab32)
+    monkeypatch.setenv("QUAKE_TPU_PARENT_KERNEL", "approx")
     assert idx._parent_kernel() == "approx"
+    monkeypatch.delenv("QUAKE_TPU_PARENT_KERNEL")
+    monkeypatch.undo()
     monkeypatch.setenv("QUAKE_TPU_PARENT_KERNEL", "pallas")
     assert idx._parent_kernel() == "pallas"
 
