@@ -1,0 +1,105 @@
+"""Operating-point sweep, round 4c: time the ACTUAL bench-gate points.
+
+nlist_sweep5 gated at recall >= 0.905, so it timed flat_192 at np11
+(0.9128) vs flat_256 at np12 (0.9103) — but bench.py's gate is >= 0.90,
+where the serving points are flat_192/np10 (0.9026) and flat_256/np11
+(0.9007 n15 / 0.9015 n25). This script times those head-to-head, niter=25
+builds (the bench default since wave 3), same-run two-pass protocol.
+
+Note the parent handicap: the Pallas parent kernel requires nlist % 128
+== 0, so flat_192 serves the approx parent while flat_256 serves the
+Pallas one (kernel_ab32: +3.4% fused) — that asymmetry is part of the real
+operating-point choice, not a confound.
+
+Run: PYTHONPATH=/root/repo:/root/.axon_site python experiments/nlist_sweep6.py
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    import sys, os
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from bench import make_manifold
+    from quake_tpu import IndexBuildParams, QuakeIndex, SearchParams
+    from quake_tpu.ops.scan import flat_scan
+    from quake_tpu.utils import compute_recall
+
+    N, D, K, B = 1_000_000, 128, 10, 8192
+    x = make_manifold(N, D, 4096, seed=1)
+    queries = make_manifold(B * 2, D, 4096, seed=7)
+    qgt = queries[:1024]
+
+    _, gt32 = flat_scan(jnp.asarray(qgt), jnp.asarray(x),
+                        jnp.arange(N, dtype=jnp.int32), K, "l2")
+    gt = np.asarray(gt32).astype(np.int64)
+
+    def build(name, **kw):
+        t0 = time.perf_counter()
+        idx = QuakeIndex()
+        idx.build(x, np.arange(N, dtype=np.int64),
+                  IndexBuildParams(metric="l2", precision="bf16",
+                                   calibrate_aps=False, niter=25, **kw))
+        print(json.dumps({"built": name, "s": round(time.perf_counter() - t0),
+                          "C": idx.store.C,
+                          "kernel": idx._grouped_kernel(),
+                          "parent": idx._parent_kernel()}), flush=True)
+        return idx
+
+    idxs = {
+        "flat_192": build("flat_192", nlist=192),
+        "flat_256": build("flat_256", nlist=256),
+    }
+
+    # bench.py gate: smallest nprobe with recall >= 0.90.
+    grids = {"flat_192": (9, 10, 11, 12), "flat_256": (10, 11, 12, 13)}
+    chosen = {}
+    for name, idx in idxs.items():
+        rec = 0.0
+        for npb in grids[name]:
+            r = idx.search(qgt, SearchParams(k=K, nprobe=npb,
+                                             exact_distances=False))
+            rec = compute_recall(r.ids, gt, K)
+            print(json.dumps({"cfg": name, "nprobe": npb,
+                              "recall": round(rec, 4)}), flush=True)
+            if rec >= 0.90 and name not in chosen:
+                chosen[name] = (npb, rec)
+        if name not in chosen:
+            chosen[name] = (grids[name][-1], rec)
+
+    q8 = jnp.asarray(queries[:B])
+
+    def step_ms(idx, sp):
+        last = idx._search_device_full(q8, sp)
+        _ = np.asarray(last[1]).ravel()[:1]
+        t0 = time.perf_counter()
+        for _ in range(3):
+            last = idx._search_device_full(q8, sp)
+        _ = np.asarray(last[1]).ravel()[:1]
+        est = (time.perf_counter() - t0) / 3
+        reps = max(int(1.2 / max(est, 1e-4)), 5)
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            last = idx._search_device_full(q8, sp)
+        _ = np.asarray(last[1]).ravel()[:1]
+        return (time.perf_counter() - t0) / reps * 1e3
+
+    for pass_no in (1, 2):
+        for name, idx in idxs.items():
+            npb, rec = chosen[name]
+            sp = SearchParams(k=K, nprobe=npb, exact_distances=False)
+            ms = step_ms(idx, sp)
+            print(json.dumps({"cfg": f"{name}_p{pass_no}", "nprobe": npb,
+                              "recall": round(rec, 4), "ms": round(ms, 3),
+                              "qps": round(B / ms * 1e3)}), flush=True)
+    print("done", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -235,7 +235,7 @@ def aps_search(
     jax.jit,
     static_argnames=(
         "k", "metric", "dimension", "chunk0", "use_precomputed", "qt",
-        "kernel", "plan_margin", "exact",
+        "kernel", "plan_margin", "exact", "width_clip", "budget_w",
     ),
 )
 def aps_search_planned(
@@ -258,6 +258,8 @@ def aps_search_planned(
     gamma=None,
     plan_margin: int = 0,
     exact: bool = True,
+    width_clip: int = 0,
+    budget_w: int = 0,
 ):
     """Two-phase ("planned") APS: prologue scan -> per-query probe plan ->
     ONE masked tail scan. Replaces the while_loop for production batches.
@@ -285,23 +287,24 @@ def aps_search_planned(
         q, centroids, pids, dimension, use_precomputed, table
     )
 
-    def scan(eff):
+    def scan(eff, pair_budget=0):
         s, si, _ = grouped_scan(
             codes, ids, sizes, norms, q, eff, k, metric, qt, 64, kernel,
-            exact=exact,
+            exact=exact, pair_budget=pair_budget,
         )
         return s, si
 
     return aps_plan(
         q, pids, boundary, valid, table, recall_target, k, metric, dimension,
         chunk0, use_precomputed, scan, gamma=gamma, plan_margin=plan_margin,
+        width_clip=width_clip, budget_w=budget_w,
     )
 
 
 def aps_plan(q, pids, boundary, valid, table, recall_target, k: int,
              metric: str, dimension: int, chunk0: int, use_precomputed: bool,
              scan_chunk, gamma=None, plan_round: int = 4,
-             plan_margin: int = 0):
+             plan_margin: int = 0, width_clip: int = 0, budget_w: int = 0):
     """Planned-APS core, shared by the single-device and shard_map paths
     (see aps_search_planned). `scan_chunk(eff)` scans a [B, m] pid matrix
     (-1 = skip) and returns merged per-query (scores [B,k], ids [B,k]) — on
@@ -319,7 +322,20 @@ def aps_plan(q, pids, boundary, valid, table, recall_target, k: int,
     those marginal queries (their k-th radius is still shrinking), and the
     loop hands them a FULL extra chunk where the plan hands them the
     model-minimal count — the margin recovers that cushion at a fraction
-    of the cost."""
+    of the cost.
+
+    width_clip / budget_w: same flat-pair-list budgeting as aps_oneshot.
+    Without it the masked tail machinery is sized to B * (M - chunk0) even
+    though the mean plan depth is ~M/5 — at the calibrated candidate width
+    (aps_plan_width, e.g. 48 at nlist=256) the unbudgeted tail measured
+    70-74 ms vs ~8 ms fixed-np12 at B=8192 (experiments/aps_width_check,
+    r4). Plans are clipped to width_clip total ranks and the tail to a
+    B * budget_w pair budget (proportional scale-down on overflow); the
+    tail scan then runs the machinery sized to that budget. The clip pair
+    is calibrated with the end-to-end adherence gate active
+    (index._calibrate_radius_predictor) — and the planned path's prologue
+    radius is an upper bound on the final k-th distance, so its plans are
+    no deeper than the oneshot plans the gate validated."""
     B, M = pids.shape
     c0 = min(chunk0, M)
 
@@ -350,11 +366,24 @@ def aps_plan(q, pids, boundary, valid, table, recall_target, k: int,
     tail = -(-tail // plan_round) * plan_round  # ceil to plan_round
     n_b = jnp.clip(c0 + tail, c0, M)
 
-    rank_idx = jnp.arange(M, dtype=jnp.int32)[None, :]
+    Wt = M
+    pair_budget = 0
+    if width_clip and budget_w:
+        Wt = min(max(width_clip, c0), M)
+        n_b = jnp.minimum(n_b, Wt)
+        n_bud = B * max(budget_w, plan_round)
+        tail = n_b - c0
+        total = jnp.sum(tail)
+        scaled = (tail * n_bud) // jnp.maximum(total, 1)
+        tail = jnp.where(total > n_bud, scaled, tail)
+        n_b = c0 + tail
+        pair_budget = int(n_bud)
+
+    rank_idx = jnp.arange(Wt, dtype=jnp.int32)[None, :]
     tail_mask = (rank_idx >= c0) & (rank_idx < n_b[:, None])
-    if M > c0:
-        eff1 = jnp.where(tail_mask[:, c0:], pids[:, c0:], -1)
-        s1, i1 = scan_chunk(eff1)
+    if Wt > c0:
+        eff1 = jnp.where(tail_mask[:, c0:], pids[:, c0:Wt], -1)
+        s1, i1 = scan_chunk(eff1, pair_budget)
         scores, sids = merge_topk(s0, i0, s1, i1, k)
         n1 = jnp.sum((eff1 >= 0).astype(jnp.int32), axis=1)
     else:

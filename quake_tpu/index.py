@@ -1041,6 +1041,8 @@ class QuakeIndex:
                         plan_margin=int(sp.aps_plan_margin),
                         norms=state.norms, kernel=self._grouped_kernel(),
                         exact=bool(sp.exact_distances),
+                        width_clip=int(self.aps_width_clip),
+                        budget_w=int(self.aps_budget_w),
                     )
                 else:
                     scores, ids32, scanned = sharded_aps_search(
@@ -1114,6 +1116,8 @@ class QuakeIndex:
                                if self.aps_gamma != 1.0 else None),
                         plan_margin=int(sp.aps_plan_margin),
                         exact=bool(sp.exact_distances),
+                        width_clip=int(self.aps_width_clip),
+                        budget_w=int(self.aps_budget_w),
                     )
                 else:
                     scores, ids32, scanned = coordinator.aps_search(

@@ -239,7 +239,8 @@ def sharded_aps_search_planned(mesh, codes, ids, centroids, q, pids,
                                strategy: str | None = None, gamma=None,
                                plan_margin: int = 0,
                                norms=None, kernel: str = "xla",
-                               exact: bool = True):
+                               exact: bool = True,
+                               width_clip: int = 0, budget_w: int = 0):
     """Planned (two-phase) APS over the mesh: prologue scan -> replicated
     per-query probe plan -> one masked tail scan (see
     coordinator.aps_search_planned). Both scans are local + all_gather
@@ -274,7 +275,8 @@ def sharded_aps_search_planned(mesh, codes, ids, centroids, q, pids,
         return aps_plan(
             q_l, pids_l, boundary, valid, table_l, recall_target, k, metric,
             dimension, chunk0, use_precomputed, scan_chunk, gamma=gamma,
-            plan_margin=plan_margin,
+            plan_margin=plan_margin, width_clip=width_clip,
+            budget_w=budget_w,
         )
 
     if strategy == "slot":

@@ -60,6 +60,17 @@ JOBS = [
     ("aps_width_check", [sys.executable, "experiments/aps_width_check.py"],
      3600),
     ("bench_10m", [sys.executable, "bench_suite.py", "--configs", "10m"], 7200),
+    # Fourth wave (session 3): aps_width_check ran against mid-edit
+    # calibration code (it started at 01:09, the perturbed-calibration
+    # commit landed 01:16) AND exposed the unbudgeted planned tail
+    # (70-74 ms); re-run on the final code with the budgeted planned path.
+    # nlist_sweep6 times the actual >=0.90-gate points (192/np10 vs
+    # 256/np11, niter=25) that sweep5's 0.905 gate skipped. bench_final is
+    # a belt-and-suspenders fresh headline capture on the final code.
+    ("aps_width_check2", [sys.executable, "experiments/aps_width_check.py"],
+     3600),
+    ("nlist_sweep6", [sys.executable, "experiments/nlist_sweep6.py"], 5400),
+    ("bench_final", [sys.executable, "bench.py"], 4200),
 ]
 
 

@@ -511,6 +511,67 @@ def test_aps_oneshot_budget_plan_clipping():
     assert int(np.asarray(scanned0).sum()) == B * M
 
 
+def test_aps_plan_budgeted_tail():
+    """aps_plan's budgeted masked tail (the planned-path analog of the
+    oneshot flat-pair budget, r4): plans clip to width_clip total ranks,
+    the tail total is GUARANTEED <= B*budget_w via the proportional
+    scale-down, and the tail scan closure receives the static pair budget.
+    Unbudgeted, the tail machinery is sized B*(M-chunk0) — measured 70+ ms
+    vs 8 ms fixed at the nlist=256 production point (aps_width_check)."""
+    from quake_tpu.coordinator import aps_plan, aps_setup
+    from quake_tpu.geometry import beta_table
+
+    rng = np.random.default_rng(12)
+    B, M, D, P, k, c0 = 32, 24, 8, 64, 5, 4
+    q = jnp.asarray(rng.standard_normal((B, D)).astype(np.float32))
+    cents = jnp.asarray(rng.standard_normal((P, D)).astype(np.float32))
+    pids = jnp.asarray(
+        np.stack([rng.choice(P, M, replace=False) for _ in range(B)])
+        .astype(np.int32))
+    table = beta_table(D, "l2")
+    boundary, valid, table = aps_setup(q, cents, pids, D, True, table)
+
+    recorded = {}
+
+    def scan_chunk(eff, pair_budget=0):
+        W = eff.shape[1]
+        if W == c0:  # prologue: huge k-th distance -> every plan maxes out
+            return (jnp.full((B, k), -1e6, jnp.float32),
+                    jnp.zeros((B, k), jnp.int32))
+        recorded["eff"] = np.asarray(eff)
+        recorded["budget"] = pair_budget
+        return (jnp.full((B, k), -jnp.inf, jnp.float32),
+                jnp.full((B, k), -1, jnp.int32))
+
+    wclip, bw = 12, 6
+    _, _, scanned = aps_plan(
+        q, pids, boundary, valid, table, jnp.float32(0.99), k, "l2", D,
+        c0, True, scan_chunk, width_clip=wclip, budget_w=bw)
+    eff = recorded["eff"]
+    assert eff.shape == (B, wclip - c0)
+    assert recorded["budget"] == B * bw
+    per_q = (eff >= 0).sum(axis=1)
+    assert per_q.max() <= wclip - c0
+    assert per_q.sum() <= B * bw
+    np.testing.assert_array_equal(np.asarray(scanned), per_q + c0)
+
+    # Without the budget the same saturated plan scans the full width.
+    _, _, scanned0 = aps_plan(
+        q, pids, boundary, valid, table, jnp.float32(0.99), k, "l2", D,
+        c0, True, scan_chunk)
+    assert recorded["eff"].shape == (B, M - c0)
+    assert recorded["budget"] == 0
+    assert int(np.asarray(scanned0).sum()) == B * M
+
+    # Loose budget: clipping machinery engages but sheds nothing — results
+    # and scanned counts match the unbudgeted plan exactly.
+    _, _, scanned1 = aps_plan(
+        q, pids, boundary, valid, table, jnp.float32(0.99), k, "l2", D,
+        c0, True, scan_chunk, width_clip=M, budget_w=M)
+    assert recorded["budget"] == B * M
+    np.testing.assert_array_equal(np.asarray(scanned1), np.asarray(scanned0))
+
+
 def test_aps_oneshot_budget_end_to_end(tmp_path):
     """Index-level flat-pair-budget fields: calibration leaves the budget
     OFF on the xla kernel (pair_budget is Pallas-only — clipping plans
