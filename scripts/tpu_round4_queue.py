@@ -70,6 +70,8 @@ JOBS = [
     ("aps_width_check2", [sys.executable, "experiments/aps_width_check.py"],
      3600),
     ("nlist_sweep6", [sys.executable, "experiments/nlist_sweep6.py"], 5400),
+    ("aps_b64_decomp", [sys.executable, "experiments/aps_b64_decomp.py"],
+     3600),
     ("bench_final", [sys.executable, "bench.py"], 4200),
 ]
 
