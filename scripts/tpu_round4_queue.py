@@ -73,6 +73,11 @@ JOBS = [
     ("aps_b64_decomp", [sys.executable, "experiments/aps_b64_decomp.py"],
      3600),
     ("bench_final", [sys.executable, "bench.py"], 4200),
+    # Fifth wave (run only if round time remains; bench_final stays the
+    # last headline capture above): SOAR at the nlist=256 point — spill
+    # halves the equal-recall nprobe while doubling slab lanes; the trade
+    # flipped twice across kernel generations, re-decide at v11/256.
+    ("soar256_ab", [sys.executable, "experiments/soar256_ab.py"], 5400),
 ]
 
 
