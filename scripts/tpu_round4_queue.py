@@ -78,6 +78,14 @@ JOBS = [
     # halves the equal-recall nprobe while doubling slab lanes; the trade
     # flipped twice across kernel generations, re-decide at v11/256.
     ("soar256_ab", [sys.executable, "experiments/soar256_ab.py"], 5400),
+    ("latency256_b64", [sys.executable, "experiments/latency_bench.py",
+                        "--nlist", "256", "--batch", "64",
+                        "--out", "experiments/r4_runs/latency256_b64.json"],
+     3600),
+    ("latency256_b1", [sys.executable, "experiments/latency_bench.py",
+                       "--nlist", "256", "--batch", "1", "--reps", "200",
+                       "--out", "experiments/r4_runs/latency256_b1.json"],
+     3600),
 ]
 
 
