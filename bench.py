@@ -1,5 +1,6 @@
 """Flagship benchmark: batched IVF search QPS at >=0.9 recall@10 on a
-SIFT1M-scale corpus (1M x 128, nlist=256 since round 4), run on the attached TPU.
+SIFT1M-scale corpus (1M x 128, nlist=192 since round 4 wave 4), run on the
+attached TPU.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 vs_baseline is relative to the north-star target of 1M QPS @ 0.9 recall@10
@@ -81,15 +82,17 @@ def run_bench():
     # scale variants; the headline shape is the 1M default.
     N = int(os.environ.get("QUAKE_BENCH_N", 1_000_000))
     D, K = 128, 10
-    # nlist=256 since round 4 (experiments/nlist_sweep4): the grouping /
-    # scatter / merge / parent bands and the kernel's selection rounds all
-    # scale with n = B*nprobe or with group count — coarsening at ~equal
-    # scan fraction keeps paying while slab DMA stays flat. Measured
-    # same-run at B=8192 (pass 2): nlist=256/np12 1017.5k QPS @ 0.9103 vs
-    # nlist=384/np12 986.5k @ 0.9079 vs nlist=512/np13 927.8k @ 0.9091.
-    # B=16384 does NOT amortize further (951k vs 1017k same run).
-    # (Round-3 history: 512/np14 738k vs 1024/np18 476k, nlist_sweep3.)
-    NLIST = int(os.environ.get("QUAKE_BENCH_NLIST", 256))
+    # nlist=192 since round 4 wave 4 (experiments/nlist_sweep6): at the
+    # actual >=0.90 gate points, 192/np10 1176-1187k QPS @ 0.904 beats
+    # 256/np11 1137-1142k @ 0.9015 same-run both passes — and carries a
+    # wider recall margin above the gate. Earlier round-4 sweeps: the
+    # grouping / scatter / merge / parent bands and the kernel's selection
+    # rounds all scale with n = B*nprobe or with group count — coarsening
+    # at ~equal scan fraction keeps paying while slab DMA stays flat
+    # (nlist_sweep4: 256/np12 1017.5k > 384/np12 986.5k > 512/np13 927.8k;
+    # B=16384 does NOT amortize further; round-3: 512/np14 738k vs
+    # 1024/np18 476k, nlist_sweep3).
+    NLIST = int(os.environ.get("QUAKE_BENCH_NLIST", 192))
     BATCH = int(os.environ.get("QUAKE_BENCH_BATCH", 8192))
     NQ_GT, N_BATCHES = 1024, max(16384 // BATCH, 2)
 
@@ -154,7 +157,8 @@ def run_bench():
     # Find the smallest nprobe achieving >= 0.9 recall@10.
     chosen = None
     r = 0.0
-    grid = ((11, 12, 13, 14, 16, 20, 32, 64) if NLIST <= 256
+    grid = ((9, 10, 11, 12, 14, 16, 24, 48) if NLIST <= 192
+            else (11, 12, 13, 14, 16, 20, 32, 64) if NLIST <= 256
             else (12, 13, 14, 16, 20, 32, 64, 128) if NLIST <= 512
             else (16, 18, 20, 24, 32, 64, 128))
     for nprobe in grid:

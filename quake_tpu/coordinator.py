@@ -329,13 +329,14 @@ def aps_plan(q, pids, boundary, valid, table, recall_target, k: int,
     though the mean plan depth is ~M/5 — at the calibrated candidate width
     (aps_plan_width, e.g. 48 at nlist=256) the unbudgeted tail measured
     70-74 ms vs ~8 ms fixed-np12 at B=8192 (experiments/aps_width_check,
-    r4). Plans are clipped to width_clip total ranks and the tail to a
-    B * budget_w pair budget (proportional scale-down on overflow); the
-    tail scan then runs the machinery sized to that budget. The clip pair
-    is calibrated with the end-to-end adherence gate active
-    (index._calibrate_radius_predictor) — and the planned path's prologue
-    radius is an upper bound on the final k-th distance, so its plans are
-    no deeper than the oneshot plans the gate validated."""
+    r4). Plans are clipped to width_clip TAIL ranks (c0 + width_clip
+    total) and the tail to a B * budget_w pair budget (proportional
+    scale-down on overflow); the tail scan then runs the machinery sized
+    to that budget. The clip pair is calibrated with the end-to-end
+    adherence gate active (index._calibrate_radius_predictor); bounding
+    the tail rather than the total keeps the gate-validated reach after
+    the prologue ranks (a total-width clip measured 0.8964 @ target 0.9,
+    aps_width_check2)."""
     B, M = pids.shape
     c0 = min(chunk0, M)
 
@@ -369,7 +370,12 @@ def aps_plan(q, pids, boundary, valid, table, recall_target, k: int,
     Wt = M
     pair_budget = 0
     if width_clip and budget_w:
-        Wt = min(max(width_clip, c0), M)
+        # width_clip bounds the TAIL width (the machinery the tail pass
+        # actually scans), so plans reach c0 + width_clip total ranks —
+        # clipping the TOTAL to width_clip shaved planned adherence to
+        # 0.8964 @ target 0.9 (aps_width_check2): the prologue ranks ate
+        # into the reach the oneshot gate had validated.
+        Wt = min(c0 + width_clip, M)
         n_b = jnp.minimum(n_b, Wt)
         n_bud = B * max(budget_w, plan_round)
         tail = n_b - c0

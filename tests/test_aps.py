@@ -548,10 +548,11 @@ def test_aps_plan_budgeted_tail():
         q, pids, boundary, valid, table, jnp.float32(0.99), k, "l2", D,
         c0, True, scan_chunk, width_clip=wclip, budget_w=bw)
     eff = recorded["eff"]
-    assert eff.shape == (B, wclip - c0)
+    # width_clip bounds the TAIL width: plans reach c0 + wclip total ranks.
+    assert eff.shape == (B, min(c0 + wclip, M) - c0)
     assert recorded["budget"] == B * bw
     per_q = (eff >= 0).sum(axis=1)
-    assert per_q.max() <= wclip - c0
+    assert per_q.max() <= wclip
     assert per_q.sum() <= B * bw
     np.testing.assert_array_equal(np.asarray(scanned), per_q + c0)
 
