@@ -156,19 +156,23 @@ def main():
     eff = jnp.asarray(eff_np)
     pb = B * max(bw, 4) if (wclip and bw) else 0
 
+    # NB: the store tensors MUST be jit arguments, not closure captures —
+    # closed-over device arrays are baked into the program as constants
+    # and the ~330 MB codes slab blows the remote-compile payload limit
+    # (HTTP 413, first run of this script).
     @jax.jit
-    def masked_scan(eff_in):
+    def masked_scan(c_in, i_in, sz_in, n_in, eff_in):
         s, i, _ = coordinator.grouped_scan(
-            state.codes, state.ids, state.sizes, state.norms, q64, eff_in,
+            c_in, i_in, sz_in, n_in, q64, eff_in,
             K, "l2", qt, 64, kernel, exact=False, pair_budget=pb)
         return jnp.sum(s[:, :1]) + jnp.sum(i[:, :1])
 
     dense12 = pids[:, :12]
 
     @jax.jit
-    def dense_scan12(p_in):
+    def dense_scan12(c_in, i_in, sz_in, n_in, p_in):
         s, i, _ = coordinator.grouped_scan(
-            state.codes, state.ids, state.sizes, state.norms, q64, p_in,
+            c_in, i_in, sz_in, n_in, q64, p_in,
             K, "l2", qt, 64, kernel, exact=False, dense=True)
         return jnp.sum(s[:, :1]) + jnp.sum(i[:, :1])
 
@@ -179,8 +183,10 @@ def main():
     probes = [
         ("oneshot_jit", oneshot_jit),
         ("model_only", lambda: model_only(q64, pids)),
-        ("masked_scan", lambda: masked_scan(eff)),
-        ("dense_scan12", lambda: dense_scan12(dense12)),
+        ("masked_scan", lambda: masked_scan(
+            state.codes, state.ids, state.sizes, state.norms, eff)),
+        ("dense_scan12", lambda: dense_scan12(
+            state.codes, state.ids, state.sizes, state.norms, dense12)),
         ("parent16", parent16),
     ]
 

@@ -60,6 +60,8 @@ def main():
         ("fixed_np12", SearchParams(k=K, nprobe=12, exact_distances=False)),
         ("fixed_np14", SearchParams(k=K, nprobe=14, exact_distances=False)),
         ("fixed_np16", SearchParams(k=K, nprobe=16, exact_distances=False)),
+        ("auto_dense", SearchParams(k=K, recall_target=target,
+                                    exact_distances=False)),
         ("oneshot", SearchParams(k=K, recall_target=target,
                                  aps_mode="oneshot", exact_distances=False)),
         ("planned", SearchParams(k=K, recall_target=target,
@@ -91,7 +93,8 @@ def main():
         return (time.perf_counter() - t0) / reps * 1e3
 
     timed = [c for c in cases if c[0] in
-             ("fixed_np12", "fixed_np14", "fixed_np16", "oneshot", "planned")]
+             ("fixed_np12", "fixed_np14", "fixed_np16", "auto_dense",
+              "oneshot", "planned")]
     for pass_no in (1, 2):
         for name, sp in timed:
             ms = step_ms(sp)

@@ -131,6 +131,14 @@ def main():
                          initial_search_fraction=0.125, aps_mode="oneshot",
                          exact_distances=ex),
         )
+    if getattr(idx, "aps_width_clip", 0):
+        # Dense calibrated-prefix serving (round 4): auto with no explicit
+        # fraction routes to the fixed-nprobe program at width_clip.
+        time_mode(
+            "aps_dense",
+            SearchParams(k=10, recall_target=args.target,
+                         exact_distances=ex),
+        )
     with open(args.out, "w") as f:
         json.dump(results, f, indent=2)
     print(f"wrote {args.out}")

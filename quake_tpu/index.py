@@ -675,6 +675,33 @@ class QuakeIndex:
         fused single-dispatch program."""
         k = max(int(sp.k), 1)
         use_aps = sp.recall_target > 0.0 and self.parent is not None
+        # Dense-prefix recall-target serving (round 4, aps_b64_decomp):
+        # scanning the calibrated width_clip prefix DENSELY costs the fixed-
+        # nprobe program (0.77-1.0 ms at B=64 vs 3.5-4.2 ms for any masked
+        # APS mode; fixed_np16 9.3 vs oneshot 13.7+ ms at B=8192) because
+        # the masked machinery (scatter epilogue, budget tables, per-query
+        # masks) carries a band the dense v11 path doesn't pay. Adherence
+        # is inherited, not assumed: the calibration gate validated
+        # end-to-end recall with plans CLIPPED to width_clip, and the dense
+        # prefix scans a superset of every such plan. Auto mode prefers it
+        # whenever the budget calibration ran; aps_mode="oneshot"/
+        # "planned"/"loop" still pin the per-query-plan strategies (they
+        # scan fewer partitions per query — the win once the masked band
+        # shrinks). The reference has no analog (its APS always iterates,
+        # query_coordinator.cpp:383-430).
+        if use_aps and sp.aps_mode in ("auto", "dense"):
+            wclip = int(getattr(self, "aps_width_clip", 0) or 0)
+            if wclip and sp.initial_search_fraction is None:
+                import dataclasses
+
+                npb = min(wclip, self.nlist())
+                sp_fixed = dataclasses.replace(
+                    sp, recall_target=0.0, nprobe=npb, aps_mode="auto")
+                scores, ids32, timing, dists = self._search_device_full(
+                    q, sp_fixed)
+                timing.search_params = sp
+                timing.partitions_scanned = npb
+                return scores, ids32, timing, dists
         if (
             self.parent is not None
             and not use_aps

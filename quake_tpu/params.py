@@ -192,9 +192,15 @@ class SearchParams:
     # plan -> single masked tail scan (phase-1 feedback: can only overscan
     # relative to the loop). "loop": lax.while_loop over ranked chunks —
     # the reference's polling semantics (query_coordinator.cpp:383-430).
-    # "auto" picks oneshot at production batch when calibrated (falling
-    # back to planned), loop at small batch. Explicit values pin the
-    # strategy.
+    # "dense": scan the calibrated width_clip candidate prefix densely —
+    # the fixed-nprobe program at the gate-validated width (adherence
+    # inherited from the clipped-plan calibration; scans a superset of
+    # every clipped plan). Measured 3.5-4.2x cheaper than any masked mode
+    # at B=64 and ~1.5x at B=8192 (aps_b64_decomp, r4): the masked
+    # machinery carries a band the dense v11 path doesn't pay.
+    # "auto" picks dense whenever the budget calibration ran (TPU builds),
+    # else oneshot at production batch when calibrated (falling back to
+    # planned), loop at small batch. Explicit values pin the strategy.
     aps_mode: str = "auto"
     # Planned/oneshot modes: extra ranks granted to planned queries (in
     # planned mode, those whose plan extends past the prologue scan; in

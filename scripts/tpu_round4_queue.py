@@ -86,6 +86,11 @@ JOBS = [
                        "--nlist", "256", "--batch", "1", "--reps", "200",
                        "--out", "experiments/r4_runs/latency256_b1.json"],
      3600),
+    # Sixth wave: the dense-prefix serving A/B (auto_dense vs the pinned
+    # masked modes vs fixed anchors) after aps_b64_decomp localized the
+    # masked band; the decomp retry runs automatically (rc != 0 above).
+    ("aps_width_check3", [sys.executable, "experiments/aps_width_check.py"],
+     3600),
 ]
 
 

@@ -613,6 +613,55 @@ def test_aps_oneshot_budget_end_to_end(tmp_path):
     idx.aps_width_clip = idx.aps_budget_w = 0
 
 
+def test_aps_dense_prefix_routing():
+    """Round-4 dense-prefix serving: with the budget calibration recorded
+    (width_clip > 0), auto recall-target serving routes to a DENSE scan of
+    the calibrated candidate prefix — exactly the fixed-nprobe program at
+    nprobe=width_clip (aps_b64_decomp: the masked machinery costs 3.5-4.2x
+    the dense program at B=64). Explicit masked modes still pin their
+    per-query-plan strategies, and an explicit initial_search_fraction
+    (reference capped-candidate semantics) disables the route."""
+    from quake_tpu import IndexBuildParams, QuakeIndex, SearchParams
+
+    rng = np.random.default_rng(23)
+    centers = rng.standard_normal((32, 16)).astype(np.float32) * 3.0
+    x = (centers[rng.integers(0, 32, 8000)]
+         + rng.standard_normal((8000, 16))).astype(np.float32)
+    q = (centers[rng.integers(0, 32, 32)]
+         + rng.standard_normal((32, 16))).astype(np.float32)
+    idx = QuakeIndex()
+    idx.build(x, np.arange(8000, dtype=np.int64),
+              IndexBuildParams(nlist=32, metric="l2"))
+
+    # Simulate a TPU-calibrated budget (CPU builds gate it off).
+    idx.aps_width_clip, idx.aps_budget_w = 6, 5
+
+    res_auto = idx.search(q, SearchParams(k=10, recall_target=0.9))
+    res_dense = idx.search(q, SearchParams(k=10, recall_target=0.9,
+                                           aps_mode="dense"))
+    res_fixed = idx.search(q, SearchParams(k=10, nprobe=6))
+    np.testing.assert_array_equal(np.asarray(res_auto.ids),
+                                  np.asarray(res_fixed.ids))
+    np.testing.assert_array_equal(np.asarray(res_dense.ids),
+                                  np.asarray(res_fixed.ids))
+    assert res_auto.timing_info.partitions_scanned == 6
+    assert res_dense.timing_info.partitions_scanned == 6
+
+    # Explicit masked mode still runs per-query plans (scanned counts are
+    # per-query, not pinned to the clip width).
+    res_loop = idx.search(q, SearchParams(k=10, recall_target=0.9,
+                                          aps_mode="loop"))
+    assert res_loop.ids.shape == (32, 10)
+
+    # Reference capped-candidate semantics: an explicit fraction disables
+    # the dense route (plans stay capped by the candidate set).
+    res_frac = idx.search(q, SearchParams(k=10, recall_target=0.9,
+                                          initial_search_fraction=2 / 32))
+    assert res_frac.timing_info.partitions_scanned <= 2
+
+    idx.aps_width_clip = idx.aps_budget_w = 0
+
+
 def test_aps_entrypoint_flags_are_static():
     """Every boolean/int flag that gates Python-level control flow inside
     the jitted search entry points must be in static_argnames — a traced
