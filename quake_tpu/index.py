@@ -97,6 +97,11 @@ class QuakeIndex:
         # (grouped_scan_pallas_v10b). Calibrated with the adherence gate.
         self.aps_budget_w = 0
         self.aps_width_clip = 0
+        # The recall target the budget/width calibration gated on: the
+        # dense-prefix route serves requested targets <= this (adherence
+        # inherited from the clipped-plan gate); higher targets fall
+        # through to the per-query-plan modes.
+        self.aps_calib_target = 0.0
         # Calibration-validated candidate width for recall-target serving
         # (0 = uncalibrated). The DEFAULT candidate width must come from
         # calibration, not a fixed fraction: the reference's 0.02 default
@@ -565,6 +570,7 @@ class QuakeIndex:
         # serves.
         self.aps_budget_w = 0
         self.aps_width_clip = 0
+        self.aps_calib_target = 0.0
         if not self._grouped_kernel().startswith(("v10", "v11")):
             return
         W = self.aps_oneshot_mcap or pids.shape[1]
@@ -589,6 +595,7 @@ class QuakeIndex:
             if compute_recall(got, gt, k) >= goal:
                 self.aps_width_clip = wclip
                 self.aps_budget_w = bw
+                self.aps_calib_target = float(target)
                 break
 
     def shard(self, n_devices: int):
@@ -691,7 +698,9 @@ class QuakeIndex:
         # query_coordinator.cpp:383-430).
         if use_aps and sp.aps_mode in ("auto", "dense"):
             wclip = int(getattr(self, "aps_width_clip", 0) or 0)
-            if wclip and sp.initial_search_fraction is None:
+            calib_t = float(getattr(self, "aps_calib_target", 0.0) or 0.0)
+            if (wclip and sp.initial_search_fraction is None
+                    and float(sp.recall_target) <= calib_t + 1e-6):
                 import dataclasses
 
                 npb = min(wclip, self.nlist())
@@ -1567,6 +1576,7 @@ class QuakeIndex:
             "aps_oneshot_mcap": self.aps_oneshot_mcap,
             "aps_budget_w": self.aps_budget_w,
             "aps_width_clip": self.aps_width_clip,
+            "aps_calib_target": self.aps_calib_target,
             "aps_plan_width": self.aps_plan_width,
             "spill": self.spill,
             "soar_lambda": self.soar_lambda,
@@ -1609,6 +1619,9 @@ class QuakeIndex:
         self.aps_oneshot_mcap = meta.get("aps_oneshot_mcap", 0)
         self.aps_budget_w = meta.get("aps_budget_w", 0)
         self.aps_width_clip = meta.get("aps_width_clip", 0)
+        # Pre-field saves were calibrated at the 0.9 default target.
+        self.aps_calib_target = meta.get(
+            "aps_calib_target", 0.9 if self.aps_width_clip else 0.0)
         self.aps_plan_width = meta.get("aps_plan_width", 0)
         dtype = jnp.bfloat16 if meta.get("precision") == "bf16" else jnp.float32
 

@@ -635,6 +635,7 @@ def test_aps_dense_prefix_routing():
 
     # Simulate a TPU-calibrated budget (CPU builds gate it off).
     idx.aps_width_clip, idx.aps_budget_w = 6, 5
+    idx.aps_calib_target = 0.9
 
     res_auto = idx.search(q, SearchParams(k=10, recall_target=0.9))
     res_dense = idx.search(q, SearchParams(k=10, recall_target=0.9,
@@ -659,7 +660,14 @@ def test_aps_dense_prefix_routing():
                                           initial_search_fraction=2 / 32))
     assert res_frac.timing_info.partitions_scanned <= 2
 
+    # A target above the calibrated one cannot inherit the gate's
+    # adherence — it falls through to the per-query-plan modes (which
+    # extend plans for the higher target: scanned exceeds the clip).
+    res_hi = idx.search(q, SearchParams(k=10, recall_target=0.97))
+    assert res_hi.timing_info.partitions_scanned > 6
+
     idx.aps_width_clip = idx.aps_budget_w = 0
+    idx.aps_calib_target = 0.0
 
 
 def test_aps_entrypoint_flags_are_static():
