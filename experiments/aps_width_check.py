@@ -52,6 +52,7 @@ def main():
                       "mcap": idx.aps_oneshot_mcap,
                       "width_clip": idx.aps_width_clip,
                       "budget_w": idx.aps_budget_w,
+                      "dense_w": getattr(idx, "aps_dense_w", 0),
                       "kernel": idx._grouped_kernel()}), flush=True)
 
     q_dev = jnp.asarray(queries[:B])

@@ -102,6 +102,10 @@ class QuakeIndex:
         # inherited from the clipped-plan gate); higher targets fall
         # through to the per-query-plan modes.
         self.aps_calib_target = 0.0
+        # Membership-validated dense-prefix width: recall-target serving
+        # runs the plain fixed-nprobe program at this width for targets
+        # <= aps_calib_target (round 4; see _search_device_full).
+        self.aps_dense_w = 0
         # Calibration-validated candidate width for recall-target serving
         # (0 = uncalibrated). The DEFAULT candidate width must come from
         # calibration, not a fixed fraction: the reference's 0.02 default
@@ -571,6 +575,41 @@ class QuakeIndex:
         self.aps_budget_w = 0
         self.aps_width_clip = 0
         self.aps_calib_target = 0.0
+        # Dense-prefix width (round 4): the smallest ranked-prefix width
+        # whose MEMBERSHIP recall meets the goal on the pseudo-OOS
+        # calibration queries. Recall-target serving then runs the plain
+        # fixed-nprobe program at this width (see _search_device_full):
+        # the masked per-query machinery carries a band the dense path
+        # doesn't pay (aps_b64_decomp: 3.73 vs 0.77 ms at B=64), so the
+        # calibrated dense prefix is adherent AT fixed-serving cost.
+        # Membership recall is exact for an exact scan (a true neighbor is
+        # returned iff its partition is scanned); bf16/dequant selection
+        # noise is absorbed by the goal margin. Zero device compiles, so
+        # this runs on every backend (unlike the budget below).
+        self.aps_dense_w = 0
+        gt64 = np.asarray(gt, np.int64)
+        nq_v, kk = gt64.shape
+        owners = [self.store.id_map.get_batch(gt64.ravel())
+                  .astype(np.int64).reshape(nq_v, kk)]
+        smap = getattr(self.store, "spill_map", None)
+        if smap is not None and len(smap):
+            owners.append(smap.get_batch(gt64.ravel())
+                          .astype(np.int64).reshape(nq_v, kk))
+        pids_np = np.asarray(pids, np.int64)  # [nq, W] ranked, -1 pads
+        Wc = pids_np.shape[1]
+        first = np.full((nq_v, kk), Wc, np.int64)
+        for ow in owners:
+            # ow < 0 = id not resident (or a gt pad): must not match the
+            # candidate matrix's -1 pads.
+            match = (ow[:, :, None] == pids_np[:, None, :]) & \
+                (ow[:, :, None] >= 0)
+            fr = np.where(match.any(-1), match.argmax(-1), Wc)
+            first = np.minimum(first, fr)
+        for w in range(1, Wc + 1):
+            if float((first < w).mean()) >= goal:
+                self.aps_dense_w = w
+                self.aps_calib_target = float(target)
+                break
         if not self._grouped_kernel().startswith(("v10", "v11")):
             return
         W = self.aps_oneshot_mcap or pids.shape[1]
@@ -697,13 +736,14 @@ class QuakeIndex:
         # shrinks). The reference has no analog (its APS always iterates,
         # query_coordinator.cpp:383-430).
         if use_aps and sp.aps_mode in ("auto", "dense"):
-            wclip = int(getattr(self, "aps_width_clip", 0) or 0)
+            width = (int(getattr(self, "aps_dense_w", 0) or 0)
+                     or int(getattr(self, "aps_width_clip", 0) or 0))
             calib_t = float(getattr(self, "aps_calib_target", 0.0) or 0.0)
-            if (wclip and sp.initial_search_fraction is None
+            if (width and sp.initial_search_fraction is None
                     and float(sp.recall_target) <= calib_t + 1e-6):
                 import dataclasses
 
-                npb = min(wclip, self.nlist())
+                npb = min(width, self.nlist())
                 sp_fixed = dataclasses.replace(
                     sp, recall_target=0.0, nprobe=npb, aps_mode="auto")
                 scores, ids32, timing, dists = self._search_device_full(
@@ -1577,6 +1617,7 @@ class QuakeIndex:
             "aps_budget_w": self.aps_budget_w,
             "aps_width_clip": self.aps_width_clip,
             "aps_calib_target": self.aps_calib_target,
+            "aps_dense_w": self.aps_dense_w,
             "aps_plan_width": self.aps_plan_width,
             "spill": self.spill,
             "soar_lambda": self.soar_lambda,
@@ -1622,6 +1663,7 @@ class QuakeIndex:
         # Pre-field saves were calibrated at the 0.9 default target.
         self.aps_calib_target = meta.get(
             "aps_calib_target", 0.9 if self.aps_width_clip else 0.0)
+        self.aps_dense_w = meta.get("aps_dense_w", 0)
         self.aps_plan_width = meta.get("aps_plan_width", 0)
         dtype = jnp.bfloat16 if meta.get("precision") == "bf16" else jnp.float32
 

@@ -633,8 +633,10 @@ def test_aps_dense_prefix_routing():
     idx.build(x, np.arange(8000, dtype=np.int64),
               IndexBuildParams(nlist=32, metric="l2"))
 
-    # Simulate a TPU-calibrated budget (CPU builds gate it off).
-    idx.aps_width_clip, idx.aps_budget_w = 6, 5
+    # Pin the serving width explicitly (the build's own calibration may
+    # have recorded any dense_w for this corpus).
+    idx.aps_dense_w = 6
+    idx.aps_width_clip, idx.aps_budget_w = 0, 0
     idx.aps_calib_target = 0.9
 
     res_auto = idx.search(q, SearchParams(k=10, recall_target=0.9))
@@ -665,6 +667,14 @@ def test_aps_dense_prefix_routing():
     # extend plans for the higher target: scanned exceeds the clip).
     res_hi = idx.search(q, SearchParams(k=10, recall_target=0.97))
     assert res_hi.timing_info.partitions_scanned > 6
+
+    # width_clip alone (budget-calibrated, no membership width) also keys
+    # the route.
+    idx.aps_dense_w = 0
+    idx.aps_width_clip = 6
+    res_wc = idx.search(q, SearchParams(k=10, recall_target=0.9))
+    np.testing.assert_array_equal(np.asarray(res_wc.ids),
+                                  np.asarray(res_fixed.ids))
 
     idx.aps_width_clip = idx.aps_budget_w = 0
     idx.aps_calib_target = 0.0
@@ -718,6 +728,10 @@ def test_auto_width_coarse_nlist_adherence():
     # candidate set entirely (min_parts floor leaves ~1).
     res = idx.search(q, SearchParams(k=10, recall_target=0.9))
     rec = compute_recall(res.ids, gt, 10)
+    # Round 4: calibration also records the membership-validated dense
+    # width, and auto serving scans exactly that prefix.
+    if idx.aps_dense_w:
+        assert res.timing_info.partitions_scanned == min(idx.aps_dense_w, 16)
     assert rec >= 0.9, rec
     # An explicit fraction still reproduces the reference's capped
     # semantics verbatim: one candidate partition caps recall well below
