@@ -58,7 +58,9 @@ def main():
     idx = QuakeIndex()
     idx.build(x, ids, IndexBuildParams(nlist=args.nlist))
     state = idx.store.state
-    q_gt = queries[: args.batch * 4]
+    # Recall sample floor: batch*4 is 4 queries at B=1 — pure noise
+    # (latency256_b1 r4 reported 0.82-0.95 across modes on that sample).
+    q_gt = queries[: max(args.batch * 4, min(64, len(queries)))]
     _, gt_ids = flat_search(state.codes, state.ids, jnp.asarray(q_gt), 10, "l2")
     gt_ids = np.asarray(gt_ids).astype(np.int64)
 

@@ -607,7 +607,11 @@ class QuakeIndex:
             first = np.minimum(first, fr)
         for w in range(1, Wc + 1):
             if float((first < w).mean()) >= goal:
-                self.aps_dense_w = w
+                # +1 rank cushion against the winner's curse: the smallest
+                # crossing width overfits the ~64-query sample (binomial
+                # noise ~0.012 vs the ~0.005 goal margin, and the width-
+                # recall curve moves ~0.01/rank at the gate).
+                self.aps_dense_w = min(w + 1, Wc)
                 self.aps_calib_target = float(target)
                 break
         if not self._grouped_kernel().startswith(("v10", "v11")):
