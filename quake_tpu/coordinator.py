@@ -380,7 +380,16 @@ def aps_plan(q, pids, boundary, valid, table, recall_target, k: int,
         n_bud = B * max(budget_w, plan_round)
         tail = n_b - c0
         total = jnp.sum(tail)
-        scaled = (tail * n_bud) // jnp.maximum(total, 1)
+        # Scale down via a float ratio, not an int product: int32 tail *
+        # Python-int n_bud stays int32 under weak promotion, and B=16384
+        # with a wide calibrated budget puts per-element products near
+        # 2^31 (ADVICE r4: silent plan corruption at scale). ratio <= 1
+        # whenever the branch applies, and tail <= M is exactly
+        # representable in f32, so the floor is within 1 of the exact
+        # integer quotient — inside the plan margin.
+        ratio = n_bud / jnp.maximum(total.astype(jnp.float32), 1.0)
+        scaled = jnp.floor(tail.astype(jnp.float32) * ratio).astype(
+            jnp.int32)
         tail = jnp.where(total > n_bud, scaled, tail)
         n_b = c0 + tail
         pair_budget = int(n_bud)
