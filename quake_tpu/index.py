@@ -1485,26 +1485,61 @@ class QuakeIndex:
     def split_partitions(self, rows) -> list:
         """2-way k-means per partition; delete originals, add the halves
         (partition_manager.cpp:393-445). Used by maintenance splits and by
-        capacity-overflow handling in add(). Returns the new rows."""
+        capacity-overflow handling in add(). Returns the new rows.
+
+        Round 5 (VERDICT r4 #5): the non-spilled path runs ONE batched
+        device 2-means over all split slabs (kmeans.batched_two_means) —
+        one dispatch + one transfer batch instead of a per-partition
+        get_partition round-trip (30-100 ms each through the tunnel) plus
+        host kmeans_np. Spilled stores keep the host path (per-copy
+        residency routing). QUAKE_TPU_MAINT_HOST=1 forces the host path
+        for A/B measurement."""
         from quake_tpu.kmeans import kmeans_np
 
         store = self.store
         split_cents, split_vecs, split_ids, split_flags = [], [], [], []
-        for r in rows:
-            vecs, vids = store.get_partition(int(r))
-            cents, clusters = kmeans_np(vecs, vids, 2, self.metric)
-            for j in range(2):
-                cids = clusters[j][1]
-                split_cents.append(cents[j])
-                split_vecs.append(clusters[j][0])
-                split_ids.append(cids)
-                if self.spill:
-                    # Which residency lived in the split row: the copy here
-                    # is the spill one iff spill_map points at r.
-                    split_flags.append(
-                        store.spill_map.get_batch(to_i64(cids)) == int(r)
-                        if len(cids) else np.zeros(0, bool)
-                    )
+        use_device = (len(rows) > 0 and not self.spill
+                      and os.environ.get("QUAKE_TPU_MAINT_HOST") != "1")
+        if use_device:
+            from quake_tpu.kmeans import batched_two_means
+            from quake_tpu.storage.store import _bucket
+
+            state = store.state
+            Sb = _bucket(len(rows), 1)
+            rows_p = np.full(Sb, -1, np.int32)
+            rows_p[: len(rows)] = [int(r) for r in rows]
+            slabs, slab_ids, sizes, cents, assign = batched_two_means(
+                state.codes, state.ids, state.sizes, jnp.asarray(rows_p),
+                niter=5, metric=self.metric)
+            slabs = np.asarray(slabs)
+            slab_ids = np.asarray(slab_ids).astype(np.int64)
+            sizes = np.asarray(sizes)
+            cents_np = np.asarray(cents)
+            assign = np.asarray(assign)
+            for i in range(len(rows)):
+                sz = int(sizes[i])
+                v, vid, a = slabs[i, :sz], slab_ids[i, :sz], assign[i, :sz]
+                for j in range(2):
+                    m = a == j
+                    split_cents.append(cents_np[i, j])
+                    split_vecs.append(v[m])
+                    split_ids.append(vid[m])
+        else:
+            for r in rows:
+                vecs, vids = store.get_partition(int(r))
+                cents, clusters = kmeans_np(vecs, vids, 2, self.metric)
+                for j in range(2):
+                    cids = clusters[j][1]
+                    split_cents.append(cents[j])
+                    split_vecs.append(clusters[j][0])
+                    split_ids.append(cids)
+                    if self.spill:
+                        # Which residency lived in the split row: the copy
+                        # here is the spill one iff spill_map points at r.
+                        split_flags.append(
+                            store.spill_map.get_batch(to_i64(cids)) == int(r)
+                            if len(cids) else np.zeros(0, bool)
+                        )
         # Delete originals without reassignment; their vectors live on in the halves.
         self.parent.remove(np.asarray(rows, dtype=np.int64))
         store.delete_partitions([int(r) for r in rows])

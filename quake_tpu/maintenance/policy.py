@@ -253,10 +253,58 @@ class MaintenancePolicy:
         neighborhood; being identical vectors, Lloyd puts them in the same
         cluster — the spill copy is then bumped to its second-nearest
         refined centroid, and every moved copy keeps its residency map."""
+        import os
+
         if not rows:
             return
         store = self.index.store
         spill = self.index.spill
+        if not spill and os.environ.get("QUAKE_TPU_MAINT_HOST") != "1":
+            # Round 5 (VERDICT r4 #5): ONE batched device Lloyd over the
+            # gathered neighborhood slabs (kmeans.batched_refine) replaces
+            # the per-row get_partition walk (a tunnel round-trip per
+            # partition) + host lloyd_refine_np. The host only regroups
+            # rows by the returned assignment and rewrites the partitions.
+            import jax.numpy as jnp
+
+            from quake_tpu.kmeans import batched_refine
+            from quake_tpu.storage.store import _bucket
+
+            state = store.state
+            R = len(rows)
+            Rb = _bucket(R, 1)
+            rows_p = np.full(Rb, -1, np.int32)
+            rows_p[:R] = [int(r) for r in rows]
+            slabs, slab_ids, sizes, cents_dev, assign = batched_refine(
+                state.codes, state.ids, state.sizes, state.centroids,
+                jnp.asarray(rows_p), niter=max(iterations, 1),
+                metric=self.index.metric)
+            slabs = np.asarray(slabs)
+            slab_ids = np.asarray(slab_ids).astype(np.int64)
+            sizes = np.asarray(sizes)
+            new_cents = np.asarray(cents_dev)[:R]
+            assign = np.asarray(assign)
+            # Flatten the pooled (vector, id, target-slot) triples, then
+            # regroup per target slot with vectorized masks.
+            fv, fi, fa = [], [], []
+            for i in range(R):
+                sz = int(sizes[i])
+                fv.append(slabs[i, :sz])
+                fi.append(slab_ids[i, :sz])
+                fa.append(assign[i, :sz])
+            fv = (np.concatenate(fv) if fv
+                  else np.zeros((0, self.index.d()), np.float32))
+            fi = np.concatenate(fi) if fi else np.zeros(0, np.int64)
+            fa = np.concatenate(fa) if fa else np.zeros(0, np.int32)
+            clusters = []
+            for j in range(R):
+                m = fa == j
+                clusters.append((fv[m], fi[m]))
+            store.write_partitions(list(rows), [c[0] for c in clusters],
+                                   [c[1] for c in clusters], new_cents)
+            self.index.parent.modify(np.asarray(rows, dtype=np.int64),
+                                     new_cents)
+            return
         vec_list, id_list = [], []
         for r in rows:
             v, i = store.get_partition(int(r))
