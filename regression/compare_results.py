@@ -19,12 +19,14 @@ RECALL_THRESHOLD = 0.01  # -1%
 
 
 def summarize(csv_path: str):
-    per_method = defaultdict(lambda: {"query_lat": [], "recall": [], "insert_lat": [], "delete_lat": []})
+    per_method = defaultdict(lambda: {"query_lat": [], "recall": [], "insert_lat": [], "delete_lat": [], "maintenance": []})
     with open(csv_path) as f:
         for row in csv.DictReader(f):
             m = per_method[row.get("method", "default")]
             op = row["operation_type"]
             lat = float(row["latency_ms"]) if row.get("latency_ms") else None
+            if row.get("maintenance_ms"):
+                m["maintenance"].append(float(row["maintenance_ms"]))
             if op == "query" and lat is not None:
                 m["query_lat"].append(lat)
                 if row.get("recall"):
@@ -41,6 +43,7 @@ def summarize(csv_path: str):
             "mean_recall": _mean(m["recall"]),
             "mean_insert_latency_ms": _mean(m["insert_lat"]),
             "mean_delete_latency_ms": _mean(m["delete_lat"]),
+            "mean_maintenance_ms": _mean(m["maintenance"]),
         }
     return out
 
@@ -69,6 +72,15 @@ def compare(baseline_csv: str, current_csv: str,
         if br is not None and cr is not None and cr < br - recall_threshold:
             failures.append(
                 f"{method}: recall regressed {br:.3f} -> {cr:.3f} (> -{recall_threshold:.0%})"
+            )
+        # Maintenance cost is gated with the same relative threshold as query
+        # latency (the reference returns MaintenanceTimingInfo per op,
+        # src/cpp/include/common.h:233-241; round-4 CSVs could not catch a
+        # maintenance-cost regression because the evaluator ran it untimed).
+        bm, cm = b.get("mean_maintenance_ms"), c.get("mean_maintenance_ms")
+        if bm and cm and cm > bm * (1 + latency_threshold):
+            failures.append(
+                f"{method}: maintenance regressed {bm:.2f} -> {cm:.2f} ms (> +{latency_threshold:.0%})"
             )
     return failures
 

@@ -106,28 +106,36 @@ def test_regression_compare_gates(tmp_path):
     sys.path.insert(0, "regression")
     from compare_results import compare
 
-    def write(path, lat, rec):
+    def write(path, lat, rec, maint=None):
         with open(path, "w", newline="") as f:
             w = csv.DictWriter(
-                f, fieldnames=["method", "operation_type", "latency_ms", "recall"]
+                f,
+                fieldnames=[
+                    "method", "operation_type", "latency_ms", "recall",
+                    "maintenance_ms",
+                ],
             )
             w.writeheader()
             w.writerow(
-                {"method": "m", "operation_type": "query", "latency_ms": lat, "recall": rec}
+                {"method": "m", "operation_type": "query", "latency_ms": lat,
+                 "recall": rec, "maintenance_ms": maint}
             )
 
     base = tmp_path / "base.csv"
-    write(base, 10.0, 0.95)
+    write(base, 10.0, 0.95, maint=100.0)
     ok = tmp_path / "ok.csv"
-    write(ok, 10.4, 0.945)  # within +5% latency, -1% recall
+    write(ok, 10.4, 0.945, maint=104.0)  # within +5% latency, -1% recall
     bad_lat = tmp_path / "bad_lat.csv"
-    write(bad_lat, 11.0, 0.95)
+    write(bad_lat, 11.0, 0.95, maint=100.0)
     bad_rec = tmp_path / "bad_rec.csv"
-    write(bad_rec, 10.0, 0.93)
+    write(bad_rec, 10.0, 0.93, maint=100.0)
+    bad_maint = tmp_path / "bad_maint.csv"
+    write(bad_maint, 10.0, 0.95, maint=120.0)
 
     assert compare(str(base), str(ok)) == []
     assert any("latency" in f for f in compare(str(base), str(bad_lat)))
     assert any("recall" in f for f in compare(str(base), str(bad_rec)))
+    assert any("maintenance" in f for f in compare(str(base), str(bad_maint)))
 
 
 def test_faiss_ivf_wrapper_smoke():
