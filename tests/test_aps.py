@@ -267,8 +267,12 @@ def test_aps_oneshot_ip_adherence():
 
 def test_aps_auto_mode_selection(monkeypatch):
     """aps_mode="auto" routes to oneshot at production batch when the
-    radius predictor calibrated, to planned when it did not, and to the
-    loop at small batch (observed via coordinator call counts)."""
+    radius predictor calibrated, to planned when it did not, and to
+    planned at small batch (round 5: the loop measured below-target
+    recall in the latency regime — 0.85 @ B=1 vs planned 0.95,
+    r4_runs/latency256_b1.json — so auto never picks it; the loop stays
+    reachable via aps_mode="loop"). Observed via coordinator call
+    counts."""
     from quake_tpu import IndexBuildParams, QuakeIndex, SearchParams
     from quake_tpu import coordinator
 
@@ -305,8 +309,10 @@ def test_aps_auto_mode_selection(monkeypatch):
     else:
         assert calls["planned"] == 1 and calls["oneshot"] == 0
 
-    idx.search(qbig[:16], sp)  # small batch -> loop
-    assert calls["loop"] == 1
+    planned_before = calls["planned"]
+    idx.search(qbig[:16], sp)  # small batch -> planned (never the loop)
+    assert calls["loop"] == 0
+    assert calls["planned"] == planned_before + 1
 
     # uncalibrated index at batch -> planned
     idx.aps_radius_ab = None
