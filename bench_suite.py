@@ -262,25 +262,26 @@ def run_10m():
     from quake_tpu.coordinator import flat_search
     from quake_tpu.utils import compute_recall
 
-    # nlist=2048 since session D (nlist_sweep3 generalizes: the
-    # pair-proportional machinery scales with B*nprobe, so coarser cells at
-    # ~equal scan fraction win; round-3 pre-D used nlist=4096/nprobe=24).
+    # nlist=4096 since round 5 (sweep_10m_r5): at 10M the 1M coarsening
+    # trend INVERTS — nlist=1024 needs np48 for 0.9 (C=14720 slabs drown
+    # the merge) while 4096/np12 lands 0.9003 at 496k QPS vs 2050/np20
+    # 353.4k (r4). nlist=8192 never crossed 0.9 by np14.
     # Serving stack: bf16 + dequantized scores + B=8192.
-    N, D, NLIST, K, B = 10_000_000, 128, 2048, 10, 8192
+    N, D, NLIST, K, B = 10_000_000, 128, 4096, 10, 8192
     x = make_manifold(N, D, 4096, seed=1)
     queries = make_manifold(B, D, 4096, seed=7)
     t0 = time.perf_counter()
     idx = QuakeIndex()
     idx.build(x, np.arange(N, dtype=np.int64),
               IndexBuildParams(nlist=NLIST, metric="l2", precision="bf16",
-                               calibrate_aps=False))
+                               niter=15, calibrate_aps=False))
     build_s = time.perf_counter() - t0
     state = idx.store.state
     _, gt32 = flat_search(state.codes, state.ids, jnp.asarray(queries[:512]),
                           K, "l2")
     gt = np.asarray(gt32).astype(np.int64)
     chosen, recall = NLIST, 0.0
-    for nprobe in (12, 14, 16, 20, 24, 32, 48):
+    for nprobe in (11, 12, 13, 14, 16, 20, 24):
         r = idx.search(queries[:512], SearchParams(k=K, nprobe=nprobe,
                                                    exact_distances=False))
         recall = compute_recall(r.ids, gt, K)
