@@ -787,3 +787,24 @@ def test_smallbatch_auto_adherence_bench_nlist():
     # Exact agreement with the first 64 rows of the B=64 issuance: the
     # dense program's per-query results are batch-size independent.
     assert np.array_equal(ids_b1, ids_b64[:64])
+
+
+def test_aps_serving_constants_are_cached():
+    """Round-5 (VERDICT r4 #2): the masked-APS band was per-dispatch
+    host->device transfers — jnp.float32 scalars and the 4KB beta table
+    created FRESH on every search call (~0.3 ms pipeline stall each
+    through the tunnel; oneshot serving 6.95 -> 1.40 ms at B=64 once
+    cached, r5_runs/aps_band_bisect.out). Gate the cache identity so a
+    refactor can't silently reintroduce the band."""
+    from quake_tpu import IndexBuildParams, QuakeIndex
+    from quake_tpu.geometry import beta_table
+
+    assert beta_table(64, "l2") is beta_table(64, "l2")
+
+    idx = QuakeIndex()
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((2000, 16)).astype(np.float32)
+    idx.build(x, np.arange(2000, dtype=np.int64),
+              IndexBuildParams(nlist=8, calibrate_aps=False))
+    assert idx._dev_f32(0.9) is idx._dev_f32(0.9)
+    assert float(idx._dev_f32(0.9)) == np.float32(0.9)
