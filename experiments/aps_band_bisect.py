@@ -41,10 +41,11 @@ def main():
     from quake_tpu import coordinator, geometry
 
     N = int(os.environ.get("APS_BAND_N", 1_000_000))
-    D, K, B = 128, 10, 64
+    D, K = 128, 10
+    B = int(os.environ.get("APS_BAND_B", 64))
     target = 0.9
     x = make_manifold(N, D, 4096, seed=1)
-    queries = make_manifold(2048, D, 4096, seed=7)
+    queries = make_manifold(1024 + max(B, 1024), D, 4096, seed=7)
 
     t0 = time.perf_counter()
     idx = QuakeIndex()
