@@ -176,6 +176,11 @@ def main():
         ("scan_fresh_scalar", scan_fresh_scalar),
         ("inline_full_nobudget", mk(0, pair_budget=0)),
         ("inline_full_densescan", mk(5, pair_budget=0, dense=True)),
+        # Budget sizing: the calibrated budget_w oversizes the machinery
+        # relative to realized plans (mean ~12 ranks vs budget_w=20) — is
+        # the masked-mode residual at production batch just that ratio?
+        ("inline_full_budget12", mk(0, pair_budget=B * 12)),
+        ("scan_budget12", mk(5, pair_budget=B * 12)),
     ]
 
     def bench(name, fn):
