@@ -411,6 +411,76 @@ def aps_plan(q, pids, boundary, valid, table, recall_target, k: int,
 @functools.partial(
     jax.jit,
     static_argnames=(
+        "parent_k", "mcap", "k", "metric", "dimension", "use_precomputed",
+        "qt", "kernel", "plan_margin", "exact", "width_clip", "budget_w",
+        "parent_kernel",
+    ),
+)
+def aps_search_oneshot_fused(
+    codes,
+    ids,
+    centroids,
+    parent_codes,
+    parent_ids,
+    parent_norms,
+    q,
+    recall_target,
+    parent_k: int,
+    mcap: int,
+    k: int,
+    metric: str,
+    dimension: int,
+    radius_a,
+    radius_b,
+    use_precomputed: bool = True,
+    table=None,
+    qt: int = 32,
+    kernel: str = "xla",
+    sizes=None,
+    norms=None,
+    gamma=None,
+    plan_margin: int = 4,
+    exact: bool = True,
+    width_clip: int = 0,
+    budget_w: int = 0,
+    parent_kernel: str = "approx",
+):
+    """Oneshot APS with the parent ranking FUSED into the same program
+    (round 5): the separate parent dispatch measured ~3.6 ms of the 17.8 ms
+    oneshot step at B=8192/nlist=256 (aps_band_bisect_b8192 — serving 17.8
+    vs the same pipeline with precomputed pids 14.2), and a whole extra
+    dispatch round-trip in the latency regime. Single-level, non-spilled
+    parents only; the recursive/sharded/spilled cases keep the two-dispatch
+    path (index._search_device_full routes). Semantics identical to
+    aps_search_oneshot on rank_parents(parent_k) candidates clipped to the
+    calibrated mcap. Returns (scores, ids, scanned, pids) — pids feeds the
+    maintenance hit window."""
+    pids = rank_parents(parent_codes, parent_ids, parent_norms, q, parent_k,
+                        metric, parent_kernel)
+    if mcap and pids.shape[1] > mcap:
+        pids = pids[:, :mcap]
+    boundary, valid, table = aps_setup(
+        q, centroids, pids, dimension, use_precomputed, table
+    )
+
+    def scan(eff, pair_budget=0):
+        s, si, _ = grouped_scan(
+            codes, ids, sizes, norms, q, eff, k, metric, qt, 64, kernel,
+            exact=exact, pair_budget=pair_budget,
+        )
+        return s, si
+
+    scores, sids, scanned = aps_oneshot(
+        q, pids, boundary, valid, table, recall_target, k, metric, dimension,
+        use_precomputed, scan, centroids, radius_a, radius_b, gamma=gamma,
+        plan_margin=plan_margin, width_clip=width_clip, budget_w=budget_w,
+    )
+    return scores, sids, scanned, pids
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
         "k", "metric", "dimension", "use_precomputed", "qt", "kernel",
         "plan_margin", "exact", "width_clip", "budget_w",
     ),

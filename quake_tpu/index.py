@@ -1127,15 +1127,37 @@ class QuakeIndex:
             recompute_threshold=sp.recompute_threshold,
             initial_search_fraction=sp.initial_search_fraction,
         )
-        t1 = _now_ns()
-        p_scores, p_ids32, p_timing = self.parent._search_device(
-            q, parent_sp, approx_flat=True
+        # Fused oneshot (round 5): for single-level non-spilled parents the
+        # parent ranking runs INSIDE the oneshot program — the separate
+        # parent dispatch measured ~3.6 ms of the 17.8 ms oneshot step at
+        # B=8192 (aps_band_bisect_b8192) plus a full dispatch round trip in
+        # the latency regime.
+        fused_oneshot = (
+            use_aps
+            and aps_mode == "oneshot"
+            and self.mesh is None
+            and self.parent.parent is None
+            and self.parent.mesh is None
+            and not self.spill
         )
-        p_timing.total_time_ns = _now_ns() - t1  # dispatch time; device async
-        timing.parent_info = p_timing
+        if fused_oneshot:
+            pids = None
+            timing.parent_info = SearchTimingInfo(
+                n_queries=int(q.shape[0]),
+                n_clusters=self.parent.nlist(),
+                partitions_scanned=self.parent.nlist(),
+            )
+        else:
+            t1 = _now_ns()
+            p_scores, p_ids32, p_timing = self.parent._search_device(
+                q, parent_sp, approx_flat=True
+            )
+            p_timing.total_time_ns = _now_ns() - t1  # dispatch; device async
+            timing.parent_info = p_timing
 
-        # Trim padding back to the true candidate count.
-        pids = p_ids32[:, :parent_k] if parent_k < p_ids32.shape[1] else p_ids32
+            # Trim padding back to the true candidate count.
+            pids = (p_ids32[:, :parent_k] if parent_k < p_ids32.shape[1]
+                    else p_ids32)
 
         if use_aps:
             from quake_tpu.geometry import beta_table
@@ -1240,7 +1262,43 @@ class QuakeIndex:
 
                     scores, ids32 = dedup_topk(scores, ids32, k)
             else:
-                if mode == "oneshot":
+                if mode == "oneshot" and fused_oneshot:
+                    ra, rb = self._radius_coef(k_eff)
+                    pstate = self.parent.store.state
+                    mcap = int(self.aps_oneshot_mcap or 0)
+                    scores, ids32, scanned, pids = (
+                        coordinator.aps_search_oneshot_fused(
+                            state.codes,
+                            state.ids,
+                            state.centroids,
+                            pstate.codes,
+                            pstate.ids,
+                            pstate.norms,
+                            q,
+                            self._dev_f32(sp.recall_target),
+                            parent_k=int(parent_k),
+                            mcap=mcap,
+                            k=k_eff,
+                            metric=self.metric,
+                            dimension=self.aps_dimension or self.d(),
+                            radius_a=self._dev_f32(ra),
+                            radius_b=self._dev_f32(rb),
+                            use_precomputed=bool(sp.use_precomputed),
+                            table=table,
+                            qt=qt,
+                            kernel=self._grouped_kernel(),
+                            sizes=state.sizes,
+                            norms=state.norms,
+                            gamma=(self._dev_f32(self.aps_gamma)
+                                   if self.aps_gamma != 1.0 else None),
+                            plan_margin=int(sp.aps_plan_margin),
+                            exact=bool(sp.exact_distances),
+                            width_clip=int(self.aps_width_clip),
+                            budget_w=int(self.aps_budget_w),
+                            parent_kernel=self._parent_kernel(),
+                        )
+                    )
+                elif mode == "oneshot":
                     ra, rb = self._radius_coef(k_eff)
                     scores, ids32, scanned = coordinator.aps_search_oneshot(
                         state.codes,

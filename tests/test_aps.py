@@ -296,6 +296,10 @@ def test_aps_auto_mode_selection(monkeypatch):
 
     monkeypatch.setattr(coordinator, "aps_search_oneshot",
                         wrap("oneshot", real_one))
+    # Round 5: single-level non-spilled parents serve oneshot through the
+    # parent-fused program — count it as the same mode.
+    monkeypatch.setattr(coordinator, "aps_search_oneshot_fused",
+                        wrap("oneshot", coordinator.aps_search_oneshot_fused))
     monkeypatch.setattr(coordinator, "aps_search_planned",
                         wrap("planned", real_plan))
     monkeypatch.setattr(coordinator, "aps_search", wrap("loop", real_loop))
