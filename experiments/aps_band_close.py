@@ -51,6 +51,10 @@ def main():
         ("fixed_np16", SearchParams(k=K, nprobe=16, exact_distances=False)),
         ("auto_dense", SearchParams(k=K, recall_target=target,
                                     exact_distances=False)),
+        # Above-calib auto (round 5): dense scan of the width_clip prefix —
+        # recall superset of every clipped oneshot plan, cheaper measured.
+        ("auto_above", SearchParams(k=K, recall_target=0.95,
+                                    exact_distances=False)),
         ("oneshot", SearchParams(k=K, recall_target=target,
                                  aps_mode="oneshot", exact_distances=False)),
         ("planned", SearchParams(k=K, recall_target=target,

@@ -814,6 +814,31 @@ class QuakeIndex:
                 timing.search_params = sp
                 timing.partitions_scanned = npb
                 return scores, ids32, timing, dists
+            # Targets ABOVE the calibrated one (round 5, aps_band_bisect_
+            # b8192): every oneshot plan is clipped to width_clip ranks, so
+            # a DENSE scan of the full width_clip prefix is a recall
+            # superset of whatever the plan machinery would execute — and
+            # it measures CHEAPER (dense-24 8.9 ms vs masked-mean-12
+            # 11.5 ms at B=8192; 0.80 vs 0.83 at B=64): at calibrated
+            # widths, static dense scanning beats dynamic masking on the
+            # TPU, like everywhere else in this codebase. Auto therefore
+            # serves above-calib targets at the widest calibrated reach;
+            # pinned aps_mode="oneshot"/"planned" keep per-query plans
+            # (their scanned counts stay adaptive).
+            wclip = int(getattr(self, "aps_width_clip", 0) or 0)
+            if (sp.aps_mode == "auto" and wclip
+                    and sp.initial_search_fraction is None
+                    and self.aps_radius_ab is not None):
+                import dataclasses
+
+                npb = min(wclip, self.nlist())
+                sp_fixed = dataclasses.replace(
+                    sp, recall_target=0.0, nprobe=npb, aps_mode="auto")
+                scores, ids32, timing, dists = self._search_device_full(
+                    q, sp_fixed)
+                timing.search_params = sp
+                timing.partitions_scanned = npb
+                return scores, ids32, timing, dists
             if sp.aps_mode == "dense":
                 # The user pinned the cheapest strategy; silently falling
                 # through to the masked while-loop (the most expensive one)

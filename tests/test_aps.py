@@ -812,3 +812,42 @@ def test_aps_serving_constants_are_cached():
               IndexBuildParams(nlist=8, calibrate_aps=False))
     assert idx._dev_f32(0.9) is idx._dev_f32(0.9)
     assert float(idx._dev_f32(0.9)) == np.float32(0.9)
+
+
+def test_auto_above_calib_serves_widest_calibrated_reach():
+    """Round-5: auto-mode targets ABOVE the calibrated one serve a dense
+    scan of the width_clip prefix — a recall SUPERSET of every clipped
+    oneshot plan (plans cap at width_clip ranks), at lower measured cost
+    (aps_band_bisect_b8192: dense-24 8.9 ms vs masked-mean-12 11.5 ms at
+    B=8192). Pinned oneshot keeps per-query plans."""
+    from quake_tpu import IndexBuildParams, QuakeIndex, SearchParams
+    from quake_tpu.utils import compute_recall, knn
+
+    rng = np.random.default_rng(9)
+    centers = rng.standard_normal((64, 32)).astype(np.float32) * 3.0
+    x = (centers[rng.integers(0, 64, 30_000)]
+         + rng.standard_normal((30_000, 32))).astype(np.float32)
+    q = (centers[rng.integers(0, 64, 64)]
+         + rng.standard_normal((64, 32))).astype(np.float32)
+    idx = QuakeIndex()
+    idx.build(x, np.arange(30_000, dtype=np.int64), IndexBuildParams(nlist=64))
+    # The CPU suite serves the xla kernel, where budget calibration is
+    # gated off — install the routing state manually (backend-independent;
+    # TPU builds set it in calibrate_aps).
+    idx.aps_width_clip = 16
+    if idx.aps_radius_ab is None:
+        idx.aps_radius_ab = np.tile(np.array([[0.5, 1.0]], np.float32),
+                                    (100, 1))
+        idx.aps_oneshot_mcap = 16
+    gt, _ = knn(q, x, 10, "l2")
+
+    target = min(0.99, idx.aps_calib_target + 0.05)
+    res_auto = idx.search(q, SearchParams(k=10, recall_target=target))
+    assert res_auto.timing_info.partitions_scanned == min(
+        idx.aps_width_clip, idx.nlist())
+    res_one = idx.search(q, SearchParams(k=10, recall_target=target,
+                                         aps_mode="oneshot"))
+    r_auto = compute_recall(res_auto.ids, gt, 10)
+    r_one = compute_recall(res_one.ids, gt, 10)
+    # Dense-at-clip scans a superset of every clipped plan.
+    assert r_auto >= r_one - 1e-9, (r_auto, r_one)
