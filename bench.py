@@ -98,17 +98,19 @@ def run_bench():
     # scale variants; the headline shape is the 1M default.
     N = int(os.environ.get("QUAKE_BENCH_N", 1_000_000))
     D, K = 128, 10
-    # nlist=192 since round 4 wave 4 (experiments/nlist_sweep6): at the
-    # actual >=0.90 gate points, 192/np10 1176-1187k QPS @ 0.904 beats
-    # 256/np11 1137-1142k @ 0.9015 same-run both passes — and carries a
-    # wider recall margin above the gate. Earlier round-4 sweeps: the
+    # nlist=160 since round 5 (experiments/nlist_sweep7): at the actual
+    # >=0.90 gate points, 160/np9 1192.6k QPS @ 0.9057 beats 192/np10
+    # 1178.6k @ 0.9040 same-run pass-2 — and carries a wider recall
+    # margin above the gate; 128/np9 lands below gate (0.8868). Round 4
+    # wave 4 (nlist_sweep6): 192/np10 beat 256/np11 1137-1142k @ 0.9015
+    # same-run both passes. Earlier round-4 sweeps: the
     # grouping / scatter / merge / parent bands and the kernel's selection
     # rounds all scale with n = B*nprobe or with group count — coarsening
     # at ~equal scan fraction keeps paying while slab DMA stays flat
     # (nlist_sweep4: 256/np12 1017.5k > 384/np12 986.5k > 512/np13 927.8k;
     # B=16384 does NOT amortize further; round-3: 512/np14 738k vs
     # 1024/np18 476k, nlist_sweep3).
-    NLIST = int(os.environ.get("QUAKE_BENCH_NLIST", 192))
+    NLIST = int(os.environ.get("QUAKE_BENCH_NLIST", 160))
     BATCH = int(os.environ.get("QUAKE_BENCH_BATCH", 8192))
     NQ_GT, N_BATCHES = 1024, max(16384 // BATCH, 2)
 

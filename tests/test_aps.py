@@ -754,8 +754,9 @@ def test_auto_width_coarse_nlist_adherence():
 def test_smallbatch_auto_adherence_bench_nlist():
     """Round-5 (VERDICT r4 #1): auto-mode recall-target serving must adhere
     at LATENCY-regime batches (B=1 and B=64) at a bench-like partition count
-    (nlist=192, the production 1M operating point) — the round-4 artifacts
-    measured 0.85 @ B=1 because auto routed small batches to the masked
+    (nlist=160, the production 1M operating point since nlist_sweep7; TPU
+    artifacts at both 192 and 160 in experiments/r5_runs/) — the round-4
+    artifacts measured 0.85 @ B=1 because auto routed small batches to the masked
     while-loop; round 5 routes every calibrated auto request to the dense
     calibrated-prefix program (index.py dense-prefix route), whose width is
     gated on a 95% lower confidence bound >= target. Reference floor:
@@ -777,7 +778,7 @@ def test_smallbatch_auto_adherence_bench_nlist():
     gt, _ = knn(q, x, 10, "l2")
 
     idx = QuakeIndex()
-    idx.build(x, ids, IndexBuildParams(nlist=192, metric="l2"))
+    idx.build(x, ids, IndexBuildParams(nlist=160, metric="l2"))
     assert idx.aps_dense_w or idx.aps_width_clip  # calibration gated a width
 
     sp = SearchParams(k=10, recall_target=0.9)
