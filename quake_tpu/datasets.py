@@ -1,6 +1,7 @@
 """Dataset loaders for ANN benchmarks.
 
-Mirrors reference src/python/datasets/ann_datasets.py:43-86: a Dataset ABC,
+Mirrors reference src/python/datasets/ann_datasets.py:14-86: a Dataset ABC
+(is_downloaded/download/load_vectors/load_queries/load_ground_truth/load),
 SIFT1M (download + fvecs/ivecs parsing), and a `load_dataset` name registry.
 Adds synthetic datasets that work in zero-egress environments.
 """
@@ -19,7 +20,13 @@ from quake_tpu.utils import fvecs_read, ivecs_read
 
 
 class Dataset(ABC):
-    """A dataset is (base vectors, queries, ground truth ids)."""
+    """A dataset is (base vectors, queries, ground truth ids).
+
+    Reference ABC (ann_datasets.py:14-40): per-component loaders plus a
+    `load()` that returns all three. Synthetic datasets generate the three
+    components together, so the base class routes the per-component API
+    through one cached `load()` result.
+    """
 
     url: str = ""
     metric: str = "l2"
@@ -34,18 +41,40 @@ class Dataset(ABC):
         if download_dir is None:
             download_dir = os.environ.get("QUAKE_TPU_DATA_DIR", "data")
         self.download_dir = Path(download_dir)
+        self._cached = None
 
     @abstractmethod
     def load(self):
         """Returns (vectors [n,d] f32, queries [nq,d] f32, gt_ids [nq,k] i64)."""
 
+    def _loaded(self):
+        if self._cached is None:
+            self._cached = self.load()
+        return self._cached
+
+    def load_vectors(self) -> np.ndarray:
+        """Reference ann_datasets.py:28-29."""
+        return self._loaded()[0]
+
+    def load_queries(self) -> np.ndarray:
+        """Reference ann_datasets.py:32-33."""
+        return self._loaded()[1]
+
+    def load_ground_truth(self) -> np.ndarray:
+        """Reference ann_datasets.py:36-37."""
+        return self._loaded()[2]
+
     def is_downloaded(self) -> bool:
         return False
 
-    def download(self):
+    def download(self, overwrite: bool = False):
+        """Fetch + extract `url` (ann_datasets.py:59-64). No-op when the
+        files are already present unless `overwrite`."""
+        if self.is_downloaded() and not overwrite:
+            return
         self.download_dir.mkdir(parents=True, exist_ok=True)
         fname = self.download_dir / os.path.basename(self.url)
-        if not fname.exists():
+        if overwrite or not fname.exists():
             urllib.request.urlretrieve(self.url, fname)
         if str(fname).endswith(("tar.gz", ".tgz")):
             with tarfile.open(fname) as tar:
@@ -53,7 +82,7 @@ class Dataset(ABC):
 
 
 class Sift1m(Dataset):
-    """SIFT1M (ann_datasets.py): 1M x 128 L2, fvecs/ivecs format."""
+    """SIFT1M (ann_datasets.py:43-72): 1M x 128 L2, fvecs/ivecs format."""
 
     url = "ftp://ftp.irisa.fr/local/texmex/corpus/sift.tar.gz"
     metric = "l2"
@@ -66,16 +95,25 @@ class Sift1m(Dataset):
         return self.download_dir
 
     def is_downloaded(self) -> bool:
-        return (self._root() / "sift_base.fvecs").exists()
+        root = self._root()
+        return all((root / f"sift_{part}.{ext}").exists()
+                   for part, ext in (("base", "fvecs"), ("query", "fvecs"),
+                                     ("groundtruth", "ivecs")))
+
+    def load_vectors(self) -> np.ndarray:
+        return fvecs_read(str(self._root() / "sift_base.fvecs"))
+
+    def load_queries(self) -> np.ndarray:
+        return fvecs_read(str(self._root() / "sift_query.fvecs"))
+
+    def load_ground_truth(self) -> np.ndarray:
+        gt = ivecs_read(str(self._root() / "sift_groundtruth.ivecs"))
+        return gt.astype(np.int64)
 
     def load(self):
         if not self.is_downloaded():
             self.download()
-        root = self._root()
-        base = fvecs_read(str(root / "sift_base.fvecs"))
-        queries = fvecs_read(str(root / "sift_query.fvecs"))
-        gt = ivecs_read(str(root / "sift_groundtruth.ivecs"))
-        return base, queries, gt.astype(np.int64)
+        return self.load_vectors(), self.load_queries(), self.load_ground_truth()
 
 
 class RandomDataset(Dataset):
@@ -141,9 +179,15 @@ _REGISTRY = {
 }
 
 
-def load_dataset(name: str, download_dir: str | None = None, **kwargs):
-    """Registry entry point (ann_datasets.py:76-86)."""
+def load_dataset(name: str, download_dir: str | None = None,
+                 overwrite_download: bool = False, **kwargs):
+    """Registry entry point (ann_datasets.py:75-86): construct, ensure the
+    files are present (downloading if the environment allows), and return
+    [vectors, queries, ground_truth]."""
     key = name.lower()
     if key not in _REGISTRY:
         raise ValueError(f"Unknown dataset {name!r}; known: {sorted(_REGISTRY)}")
-    return _REGISTRY[key](download_dir, **kwargs).load()
+    ds = _REGISTRY[key](download_dir, **kwargs)
+    if overwrite_download:
+        ds.download(overwrite=True)
+    return ds.load()

@@ -64,6 +64,35 @@ def test_dataset_registry():
         load_dataset("nonexistent")
 
 
+def test_dataset_component_loaders(tmp_path):
+    """Reference per-component API (ann_datasets.py:28-40): load_vectors/
+    load_queries/load_ground_truth agree with load(), and the Sift1m offline
+    layout detection accepts both <dir>/sift/ and a flat file drop."""
+    from quake_tpu.datasets import RandomDataset, Sift1m
+    from quake_tpu.utils import fvecs_write, ivecs_write
+
+    ds = RandomDataset(n=200, d=8, nq=5)
+    base, queries, gt = ds.load()
+    np.testing.assert_array_equal(ds.load_vectors(), base)
+    np.testing.assert_array_equal(ds.load_queries(), queries)
+    np.testing.assert_array_equal(ds.load_ground_truth(), gt)
+
+    # Flat-drop offline layout: three files directly in the directory.
+    rng = np.random.default_rng(0)
+    fvecs_write(str(tmp_path / "sift_base.fvecs"),
+                rng.standard_normal((20, 4), dtype=np.float32))
+    fvecs_write(str(tmp_path / "sift_query.fvecs"),
+                rng.standard_normal((3, 4), dtype=np.float32))
+    ivecs_write(str(tmp_path / "sift_groundtruth.ivecs"),
+                rng.integers(0, 20, (3, 2)).astype(np.int32))
+    s = Sift1m(str(tmp_path))
+    assert s.is_downloaded()
+    v, q, g = s.load()
+    assert v.shape == (20, 4) and q.shape == (3, 4)
+    assert g.dtype == np.int64 and g.shape == (3, 2)
+    np.testing.assert_array_equal(s.load_ground_truth(), g)
+
+
 def test_wrapper_registry():
     from quake_tpu.wrappers.wrapper import get_index_class
 
