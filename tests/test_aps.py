@@ -353,6 +353,42 @@ def test_aps_uses_effective_dimension(small_data):
     assert res.ids.shape == (len(q), 10)
 
 
+def test_calibrate_aps_reentry_resets_serving_fields():
+    """ADVICE r4 (medium): a re-run of calibrate_aps that fails a gate must
+    not leave the PREVIOUS store's calibration products serving — the dense
+    route (index.py dense-prefix) trusts aps_dense_w/aps_calib_target with
+    no further validation. The resets live UP FRONT in calibrate_aps
+    (index.py:301-315), before every early return; force the earliest gate
+    (ntotal < 512) after a successful calibration and check every
+    serving-facing field is cleared."""
+    from quake_tpu import IndexBuildParams, QuakeIndex
+
+    rng = np.random.default_rng(3)
+    n, d = 4096, 16
+    centers = 8.0 * rng.standard_normal((32, d)).astype(np.float32)
+    x = (centers[rng.integers(0, 32, n)]
+         + rng.standard_normal((n, d)).astype(np.float32))
+    ids = np.arange(n, dtype=np.int64)
+    idx = QuakeIndex()
+    idx.build(x, ids, IndexBuildParams(nlist=16, metric="l2"))
+    # Simulate a successful prior calibration (the gates are corpus-
+    # sensitive on tiny data; the dense-prefix tests seed the same fields,
+    # test_aps_dense_prefix_routing above).
+    idx.aps_dense_w = 3
+    idx.aps_width_clip = 6
+    idx.aps_budget_w = 4
+    idx.aps_calib_target = 0.9
+    idx.aps_calib_nq = 128
+
+    idx.remove(ids[: n - 256])  # below the 512-vector calibration gate
+    idx.calibrate_aps(target=0.9)
+    for f in ("aps_dense_w", "aps_width_clip", "aps_budget_w",
+              "aps_calib_nq"):
+        assert getattr(idx, f) == 0, (f, getattr(idx, f))
+    assert idx.aps_calib_target == 0.0
+    assert idx.aps_radius_ab is None
+
+
 def test_aps_adherence_isotropic_d64_after_calibration():
     """Isotropic data at d=64: the cap model at the ambient/intrinsic
     dimension over-trusts high-d concentration and used to miss targets
