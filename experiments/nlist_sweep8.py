@@ -24,7 +24,11 @@ def main():
     from quake_tpu.ops.scan import flat_scan
     from quake_tpu.utils import compute_recall
 
-    N, D, K, B = 1_000_000, 128, 10, 8192
+    import os as _os
+    N, D, K = 1_000_000, 128, 10
+    B = int(_os.environ.get("NSWEEP_B", 8192))
+    cfgs = [int(s) for s in
+            _os.environ.get("NSWEEP_NLIST", "144,160,176").split(",")]
     x = make_manifold(N, D, 4096, seed=1)
     queries = make_manifold(B * 2, D, 4096, seed=7)
     qgt = queries[:1024]
@@ -45,15 +49,10 @@ def main():
                           "parent": idx._parent_kernel()}), flush=True)
         return idx
 
-    idxs = {
-        "flat_144": build("flat_144", nlist=144),
-        "flat_160": build("flat_160", nlist=160),
-        "flat_176": build("flat_176", nlist=176),
-    }
+    idxs = {f"flat_{nl}": build(f"flat_{nl}", nlist=nl) for nl in cfgs}
 
     # bench.py gate: smallest nprobe with recall >= 0.90.
-    grids = {"flat_144": (8, 9, 10), "flat_160": (8, 9, 10),
-             "flat_176": (8, 9, 10, 11)}
+    grids = {name: (8, 9, 10, 11, 12) for name in idxs}
     chosen = {}
     for name, idx in idxs.items():
         rec = 0.0
