@@ -23,8 +23,10 @@ def main():
     from quake_tpu.coordinator import flat_search
     from quake_tpu.utils import compute_recall
 
+    import os as _os
     N, D, K, NPB = 10_000_000, 128, 10, 12
-    BS = (4096, 8192, 16384)
+    BS = tuple(int(s) for s in _os.environ.get(
+        "BSWEEP_BS", "4096,8192,16384").split(","))
     x = make_manifold(N, D, 4096, seed=1)
     queries = make_manifold(max(BS), D, 4096, seed=7)
     qgt = queries[:1024]
