@@ -13,6 +13,7 @@ Usage: python bench_suite.py [--configs quickstart,deep,gist,streaming]
 
 import argparse
 import json
+import os
 import time
 
 import numpy as np
@@ -75,7 +76,11 @@ def run_deep():
     from quake_tpu.coordinator import flat_search
     from quake_tpu.utils import compute_recall
 
-    N, D, K, B = 10_000_000, 96, 10, 8192
+    # B=16384 default since round 5: bsweep_10m measured +21% QPS from
+    # 8192 -> 16384 at 10M x128 (per-batch bands keep amortizing at 10M);
+    # QUAKE_SUITE_B overrides for A/Bs.
+    N, D, K = 10_000_000, 96, 10
+    B = int(os.environ.get("QUAKE_SUITE_B", 16384))
     x = make_manifold(N, D, 4096, seed=2)
     x /= np.linalg.norm(x, axis=1, keepdims=True)
     queries = make_manifold(B, D, 4096, seed=3)
@@ -126,7 +131,8 @@ def run_gist():
     from quake_tpu.coordinator import flat_search
     from quake_tpu.utils import compute_recall
 
-    N, D, K, B = 1_000_000, 960, 10, 4096
+    N, D, K = 1_000_000, 960, 10
+    B = int(os.environ.get("QUAKE_SUITE_B", 4096))
     x = make_manifold(N, D, 1024, seed=4, zdim=24)
     queries = make_manifold(2 * B, D, 1024, seed=5, zdim=24)
     q = queries[:1024]
