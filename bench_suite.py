@@ -124,7 +124,9 @@ def run_deep():
 def run_gist():
     """GIST-like at stated scale (BASELINE.json: GIST1M 960-d): 1M x 960 L2
     in bf16 (~2.5GB slab — fits one chip; VERDICT r4 missing #2 flagged the
-    200k stand-in). Fixed-nprobe sweep to the 0.9 gate, QPS at B=4096."""
+    200k stand-in). Fixed-nprobe sweep to the 0.9 gate; B=8192 default
+    since round 5 (gist_b8192: 315.3k vs 188.9k at 4096 — the batch bands
+    amortize on the 960-d matmul too; 16384 probed in gist_b16384)."""
     import jax.numpy as jnp
 
     from quake_tpu import IndexBuildParams, QuakeIndex, SearchParams
@@ -132,7 +134,7 @@ def run_gist():
     from quake_tpu.utils import compute_recall
 
     N, D, K = 1_000_000, 960, 10
-    B = int(os.environ.get("QUAKE_SUITE_B", 4096))
+    B = int(os.environ.get("QUAKE_SUITE_B", 8192))
     x = make_manifold(N, D, 1024, seed=4, zdim=24)
     queries = make_manifold(2 * B, D, 1024, seed=5, zdim=24)
     q = queries[:1024]
