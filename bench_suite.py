@@ -289,13 +289,17 @@ def run_10m():
                                niter=15, calibrate_aps=False))
     build_s = time.perf_counter() - t0
     state = idx.store.state
-    _, gt32 = flat_search(state.codes, state.ids, jnp.asarray(queries[:512]),
+    # 1024 GT queries: at 512 the 0.9-gate estimate has sigma ~0.0042, so a
+    # build whose true recall is 0.904 at np12 flips the chosen nprobe (and
+    # a ~8% QPS step) run to run (bench_10m_b24576 chose np13 on a 0.899
+    # reading of the same build family).
+    _, gt32 = flat_search(state.codes, state.ids, jnp.asarray(queries[:1024]),
                           K, "l2")
     gt = np.asarray(gt32).astype(np.int64)
     chosen, recall = NLIST, 0.0
     for nprobe in (11, 12, 13, 14, 16, 20, 24):
-        r = idx.search(queries[:512], SearchParams(k=K, nprobe=nprobe,
-                                                   exact_distances=False))
+        r = idx.search(queries[:1024], SearchParams(k=K, nprobe=nprobe,
+                                                    exact_distances=False))
         recall = compute_recall(r.ids, gt, K)
         if recall >= 0.90:
             chosen = nprobe
