@@ -76,11 +76,11 @@ def run_deep():
     from quake_tpu.coordinator import flat_search
     from quake_tpu.utils import compute_recall
 
-    # B=16384 default since round 5: bsweep_10m measured +21% QPS from
-    # 8192 -> 16384 at 10M x128 (per-batch bands keep amortizing at 10M);
-    # QUAKE_SUITE_B overrides for A/Bs.
+    # B=24576 default since round 5: deep_b24576 measured 518.4k QPS @ 0.904
+    # vs 428.3k at B=16384 (+21%) — the per-batch bands keep amortizing at
+    # 10M on the 96-d IP corpus too. QUAKE_SUITE_B overrides for A/Bs.
     N, D, K = 10_000_000, 96, 10
-    B = int(os.environ.get("QUAKE_SUITE_B", 16384))
+    B = int(os.environ.get("QUAKE_SUITE_B", 24576))
     x = make_manifold(N, D, 4096, seed=2)
     x /= np.linalg.norm(x, axis=1, keepdims=True)
     queries = make_manifold(B, D, 4096, seed=3)
@@ -124,9 +124,9 @@ def run_deep():
 def run_gist():
     """GIST-like at stated scale (BASELINE.json: GIST1M 960-d): 1M x 960 L2
     in bf16 (~2.5GB slab — fits one chip; VERDICT r4 missing #2 flagged the
-    200k stand-in). Fixed-nprobe sweep to the 0.9 gate; B=8192 default
-    since round 5 (gist_b8192: 315.3k vs 188.9k at 4096 — the batch bands
-    amortize on the 960-d matmul too; 16384 probed in gist_b16384)."""
+    200k stand-in). Fixed-nprobe sweep to the 0.9 gate; B=16384 default
+    since round 5 (gist_b16384: 440.6k @ 0.943 vs 315.3k at 8192 vs 188.9k
+    at 4096 — the batch bands amortize on the 960-d matmul too)."""
     import jax.numpy as jnp
 
     from quake_tpu import IndexBuildParams, QuakeIndex, SearchParams
@@ -134,7 +134,7 @@ def run_gist():
     from quake_tpu.utils import compute_recall
 
     N, D, K = 1_000_000, 960, 10
-    B = int(os.environ.get("QUAKE_SUITE_B", 8192))
+    B = int(os.environ.get("QUAKE_SUITE_B", 16384))
     x = make_manifold(N, D, 1024, seed=4, zdim=24)
     queries = make_manifold(2 * B, D, 1024, seed=5, zdim=24)
     q = queries[:1024]
