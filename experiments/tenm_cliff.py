@@ -11,7 +11,10 @@ skipping the 10M build turns a 30-min job into ~10.
 Variants (two interleaved passes, pass 2 decides; in-jit output reduction):
   fused_np{12,13,16}_k10, fused_np13_k9  — full fused_ivf_search
   parent_pallas_np{12,13}, parent_approx_np{12,13} — rank_parents alone
-  grouped_np{12,13}_k10, grouped_np13_k9 — grouped_scan alone (v11g4 entry)
+  grouped_np{12,13}_k10, grouped_np13_k9 — grouped_scan alone (v11g4 entry;
+    at this shape the dispatch rides the v10 scatter: uint32 key overflow)
+  grouped_arg_np{12,13} — v11 placement="argsort" (no bit budget; candidate
+    replacement for the v10 fallback at 10M shapes), + B=32768 arms of both
   groups_np{12,13} — build_groups_scatter alone
 
 Run: PYTHONPATH=/root/repo:/root/.axon_site python experiments/tenm_cliff.py
@@ -86,6 +89,36 @@ def main():
         gp, ql, tgt = build_groups_scatter(probe[np_], P, QT)
         return jnp.sum(gp)[None] + jnp.sum(tgt[:1, :1])[None]
 
+    from quake_tpu.ops.pallas_grouped import grouped_scan_pallas_v11
+
+    @functools.partial(jax.jit, static_argnames=("np_", "k"))
+    def grouped_arg(q, np_, k):
+        out = grouped_scan_pallas_v11(
+            codes, ids, sizes, norms, q, probe[np_], k, "l2", qt=QT, gpb=4,
+            dedup=False, exact=False, placement="argsort")
+        return out[0][:1, :1], out[1][:1, :1]
+
+    B32 = 32768
+    k_q32, k_p32 = jax.random.split(jax.random.PRNGKey(9))
+    q32 = jax.random.normal(k_q32, (B32, D), dtype=jnp.float32)
+    base32 = jax.random.randint(k_p32, (B32, 1), 0, P, dtype=jnp.int32)
+    probe32 = jax.device_put(
+        (base32 + jnp.arange(12, dtype=jnp.int32)[None, :] * 257) % P)
+
+    @jax.jit
+    def grouped32_v10(q):
+        out = coordinator.grouped_scan(
+            codes, ids, sizes, norms, q, probe32, 10, "l2", QT, GC,
+            "v11g4", dedup=False, exact=False, dense=True)
+        return out[0][:1, :1], out[1][:1, :1]
+
+    @jax.jit
+    def grouped32_arg(q):
+        out = grouped_scan_pallas_v11(
+            codes, ids, sizes, norms, q, probe32, 10, "l2", qt=QT, gpb=4,
+            dedup=False, exact=False, placement="argsort")
+        return out[0][:1, :1], out[1][:1, :1]
+
     variants = [
         ("fused_np12_k10", lambda: fused(q, 12, 10)),
         ("fused_np13_k10", lambda: fused(q, 13, 10)),
@@ -98,6 +131,10 @@ def main():
         ("grouped_np12_k10", lambda: grouped(q, 12, 10)),
         ("grouped_np13_k10", lambda: grouped(q, 13, 10)),
         ("grouped_np13_k9", lambda: grouped(q, 13, 9)),
+        ("grouped_arg_np12", lambda: grouped_arg(q, 12, 10)),
+        ("grouped_arg_np13", lambda: grouped_arg(q, 13, 10)),
+        ("grouped32_v10_np12", lambda: grouped32_v10(q32)),
+        ("grouped32_arg_np12", lambda: grouped32_arg(q32)),
         ("groups_np12", lambda: groups(12)),
         ("groups_np13", lambda: groups(13)),
     ]

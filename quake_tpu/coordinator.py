@@ -15,6 +15,7 @@ probability of scanned partitions exceeds the recall target (:416-424).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -730,6 +731,7 @@ def grouped_scan(codes, ids, sizes, norms, q, pids, k: int, metric: str,
             # ride the scatter epilogue instead.
             name = "v10"
         B = q.shape[0]
+        placement = "sorted"
         if name == "v11":
             from quake_tpu.ops.grouped import group_layout
 
@@ -739,7 +741,17 @@ def grouped_scan(codes, ids, sizes, norms, q, pids, k: int, metric: str,
             # 0xFFFFFFFF invalid marker.
             if (max((rows - 1).bit_length(), 1)
                     + max((B - 1).bit_length(), 1)) >= 32:
-                name = "v10"  # sort key would overflow uint32
+                # The packed uint32 key overflows at 10M-scale shapes
+                # (P~4096/qt=64 rows need 20 bits, B>=8192 needs 13+).
+                # QUAKE_TPU_V11_OVERFLOW=argsort uses argsort placement
+                # instead of the v10 row scatter (no bit budget; tgt covers
+                # [0, n) exactly once under dense fixed-nprobe, so
+                # argsort(tgt)[:n] IS the row->pair placement). Default
+                # stays v10 pending the same-run A/B (tenm_cliff2).
+                if os.environ.get("QUAKE_TPU_V11_OVERFLOW", "v10") == "argsort":
+                    placement = "argsort"
+                else:
+                    name = "v10"
         fn = {"v7": grouped_scan_pallas_v7,
               "v8": grouped_scan_pallas_v8,
               "v9": grouped_scan_pallas_v9,
@@ -753,7 +765,11 @@ def grouped_scan(codes, ids, sizes, norms, q, pids, k: int, metric: str,
             return grouped_scan_pallas_v3pn(codes, ids, sizes, norms, q, pids,
                                             k, metric, qt=qt, gpb=gpb,
                                             dedup=dedup)
-        if name in ("v10", "v11"):
+        if name == "v11":
+            return fn(codes, ids, sizes, norms, q, pids,
+                      k, metric, qt=qt, gpb=gpb, fold=fold, dedup=dedup,
+                      exact=exact, placement=placement)
+        if name == "v10":
             return fn(codes, ids, sizes, norms, q, pids,
                       k, metric, qt=qt, gpb=gpb, fold=fold, dedup=dedup,
                       exact=exact)

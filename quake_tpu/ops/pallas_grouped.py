@@ -1419,6 +1419,43 @@ def _sorted_epilogue(g_packed, tgt, group_size, pids, codes, ids, norms, q,
                       interpret=interpret, exact=exact, gmin=gmin, ginv=ginv)
 
 
+def _argsort_epilogue(g_packed, tgt, group_size, pids, codes, ids, norms, q,
+                      k: int, kk: int, metric: str, slot_mult: int,
+                      levels: int, dedup: bool, pool_factor: int = 1,
+                      merge: str = "pallas", interpret: bool = False,
+                      exact: bool = True, gmin=None, ginv=None):
+    """v11 epilogue variant with NO sort-key bit budget: argsort placement.
+
+    The packed uint32 key (qs << r_bits) | row needs r_bits + qs_bits < 32,
+    which fails at 10M-scale shapes (P~4096, qt=64: R~5-6e5 rows needs 20
+    bits, B >= 8192 needs 13+) — those shapes have been riding the v10
+    [n, kk] row scatter. But under DENSE fixed-nprobe semantics tgt (the
+    flat pair index of every kernel row, from build_groups_scatter) covers
+    [0, n) exactly once, with pad rows parked at n — so a plain argsort of
+    tgt IS the row -> pair placement, at any shape:
+
+      order[p] = the kernel row whose pair position is p   (p < n)
+
+    and one [n, kk] row take lands the pool in PROBE order (v10 placement:
+    pool column j of query b is probe rank j), so pid_cols = pids directly,
+    no ascending-pid sort. Ghost (size-0) rows keep their pair slot for
+    alignment, values masked to -1 via group_size (exactly like v11 dense).
+    """
+    B, nprobe = pids.shape
+    n = B * nprobe
+    rows = g_packed.reshape(-1, g_packed.shape[-1])  # [R, kk]
+    R = rows.shape[0]
+    qt = R // group_size.shape[0]
+    alive = jnp.repeat(group_size > 0, qt)  # [R]
+    rows = jnp.where(alive[:, None], rows, -1.0)
+    order = jnp.argsort(tgt.reshape(-1)).astype(jnp.int32)[:n]
+    m_packed = jnp.take(rows, order, axis=0).reshape(B, nprobe * kk)
+    return _pool_tail(m_packed, pids, pids, codes, ids, norms, q, k, kk,
+                      metric, slot_mult, levels, dedup,
+                      pool_factor=pool_factor, merge=merge,
+                      interpret=interpret, exact=exact, gmin=gmin, ginv=ginv)
+
+
 def _sorted_budget_epilogue(g_packed, tgt, group_size, pids, codes, ids,
                             norms, q, k: int, kk: int, metric: str,
                             slot_mult: int, levels: int, dedup: bool,
@@ -1674,14 +1711,15 @@ def grouped_scan_pallas_v10(codes, ids, sizes, norms, q, pids, k: int,
 @functools.partial(
     jax.jit,
     static_argnames=("k", "metric", "qt", "gpb", "fold", "dedup",
-                     "pool_factor", "bounds", "merge", "interpret", "exact"),
+                     "pool_factor", "bounds", "merge", "interpret", "exact",
+                     "placement"),
 )
 def grouped_scan_pallas_v11(codes, ids, sizes, norms, q, pids, k: int,
                             metric: str, qt: int = 64, gpb: int = 4,
                             fold: int = 128, dedup: bool = False,
                             pool_factor: int = 1, bounds: str = "analytic",
                             merge: str = "pallas", interpret: bool = False,
-                            exact: bool = True):
+                            exact: bool = True, placement: str = "sorted"):
     """v11: the v9 kernel with the SORTED-placement epilogue (see
     _sorted_epilogue) — one packed uint32 sort + one row take replace the
     v10 row scatter (1.83 -> ~0.8 ms at the nlist=512/B=8192 bench shape,
@@ -1689,7 +1727,12 @@ def grouped_scan_pallas_v11(codes, ids, sizes, norms, q, pids, k: int,
     semantics); callers with masked pid matrices (APS tails) must use v10.
     Same returns/semantics as v10; membership can differ from v10 only at
     quantization ties (the pool holds the same candidates in
-    ascending-partition column order)."""
+    ascending-partition column order).
+
+    placement="argsort" swaps the packed-key sort for an argsort of tgt
+    (see _argsort_epilogue): no uint32 bit budget, pool in PROBE order —
+    the sorted-placement analog for 10M-scale shapes where
+    r_bits + qs_bits >= 32 would otherwise force the v10 row scatter."""
     from quake_tpu.ops.grouped import build_groups_scatter
 
     B, D = q.shape
@@ -1711,14 +1754,18 @@ def grouped_scan_pallas_v11(codes, ids, sizes, norms, q, pids, k: int,
     group_pid, qlist, tgt = build_groups_scatter(pids, P, qt)
     G = group_pid.shape[0]
     Gn = -(-G // gpb) * gpb
-    # Sort-key budget: (qs << r_bits) | row must fit uint32 STRICTLY below
-    # the 0xFFFFFFFF invalid marker (at exactly 32 bits an all-ones valid
-    # key could collide with it).
-    r_bits = max((Gn * qt - 1).bit_length(), 1)
-    qs_bits = max((B - 1).bit_length(), 1)
-    if r_bits + qs_bits >= 32:
-        raise ValueError(
-            f"v11 sort key overflows uint32 (B={B}, rows={Gn * qt}); use v10")
+    if placement not in ("sorted", "argsort"):
+        raise ValueError(f"v11 placement must be 'sorted' or 'argsort', got {placement!r}")
+    if placement == "sorted":
+        # Sort-key budget: (qs << r_bits) | row must fit uint32 STRICTLY
+        # below the 0xFFFFFFFF invalid marker (at exactly 32 bits an
+        # all-ones valid key could collide with it).
+        r_bits = max((Gn * qt - 1).bit_length(), 1)
+        qs_bits = max((B - 1).bit_length(), 1)
+        if r_bits + qs_bits >= 32:
+            raise ValueError(
+                f"v11 sort key overflows uint32 (B={B}, rows={Gn * qt}); "
+                "use placement='argsort' or v10")
     gp = jnp.pad(group_pid, (0, Gn - G), constant_values=-1)
     ql = jnp.pad(qlist, ((0, Gn - G), (0, 0)), constant_values=-1)
     tgt = jnp.pad(tgt, ((0, Gn - G), (0, 0)),
@@ -1766,11 +1813,12 @@ def grouped_scan_pallas_v11(codes, ids, sizes, norms, q, pids, k: int,
         interpret=interpret,
     )(gp, group_size, qg, *([codes] * gpb), *([normsT.reshape(P, 1, C)] * gpb))
 
-    return _sorted_epilogue(g_packed, tgt, group_size, pids, codes, ids,
-                            norms, q, k, kk, metric, slot_mult, levels,
-                            dedup, pool_factor=pool_factor, merge=merge,
-                            interpret=interpret, exact=exact,
-                            gmin=gmin, ginv=ginv)
+    epilogue = _sorted_epilogue if placement == "sorted" else _argsort_epilogue
+    return epilogue(g_packed, tgt, group_size, pids, codes, ids,
+                    norms, q, k, kk, metric, slot_mult, levels,
+                    dedup, pool_factor=pool_factor, merge=merge,
+                    interpret=interpret, exact=exact,
+                    gmin=gmin, ginv=ginv)
 
 
 def budget_sort_key_fits(B: int, M: int, n_bud: int, P: int, qt: int,

@@ -240,3 +240,57 @@ def test_grouped_scan_budget_dispatch_placement(monkeypatch):
     s, i, c = grouped_scan(codes, ids, sizes, norms, q, pids, k, "l2", 8,
                            64, "xla", dense=False, pair_budget=32)
     assert not calls and int(np.asarray(c).sum()) == B * M
+
+
+def test_grouped_scan_v11_overflow_dispatch(monkeypatch):
+    """When the v11 packed uint32 sort key would overflow (10M-scale
+    shapes), the dense dispatch routes to the v10 row scatter by default
+    and to v11 placement="argsort" under QUAKE_TPU_V11_OVERFLOW=argsort."""
+    import quake_tpu.ops.grouped as og
+    import quake_tpu.ops.pallas_grouped as pg
+    from quake_tpu.coordinator import grouped_scan
+
+    rng = np.random.default_rng(7)
+    P, C, D, B, M, k = 16, 128, 8, 8, 6, 3
+    codes = jnp.asarray(rng.standard_normal((P, C, D)).astype(np.float32))
+    ids = jnp.asarray(np.arange(P * C, dtype=np.int32).reshape(P, C))
+    sizes = jnp.asarray(np.full(P, C, np.int32))
+    norms = jnp.sum(codes ** 2, axis=2)
+    q = jnp.asarray(rng.standard_normal((B, D)).astype(np.float32))
+    pids = jnp.asarray(np.stack(
+        [rng.choice(P, M, replace=False) for _ in range(B)]).astype(np.int32))
+
+    seen = {}
+
+    def fake(name):
+        def _f(*args, **kw):
+            seen["name"], seen["placement"] = name, kw.get("placement")
+            Bq = args[4].shape[0]
+            return (jnp.zeros((Bq, k), jnp.float32),
+                    jnp.full((Bq, k), -1, jnp.int32),
+                    jnp.zeros((Bq,), jnp.int32))
+        return _f
+
+    monkeypatch.setattr(pg, "grouped_scan_pallas_v10", fake("v10"))
+    monkeypatch.setattr(pg, "grouped_scan_pallas_v11", fake("v11"))
+    # Force the overflow branch regardless of the tiny test shapes (B=8
+    # only contributes 3 query bits, so the fake rows must carry 29+).
+    monkeypatch.setattr(og, "group_layout", lambda *a: 1 << 40)
+
+    monkeypatch.delenv("QUAKE_TPU_V11_OVERFLOW", raising=False)
+    grouped_scan(codes, ids, sizes, norms, q, pids, k, "l2", 8, 64,
+                 "v11g4", dense=True)
+    assert seen["name"] == "v10"
+
+    monkeypatch.setenv("QUAKE_TPU_V11_OVERFLOW", "argsort")
+    seen.clear()
+    grouped_scan(codes, ids, sizes, norms, q, pids, k, "l2", 8, 64,
+                 "v11g4", dense=True)
+    assert seen == {"name": "v11", "placement": "argsort"}
+
+    # A fitting key keeps the sorted placement.
+    monkeypatch.setattr(og, "group_layout", lambda *a: 8)
+    seen.clear()
+    grouped_scan(codes, ids, sizes, norms, q, pids, k, "l2", 8, 64,
+                 "v11g4", dense=True)
+    assert seen == {"name": "v11", "placement": "sorted"}

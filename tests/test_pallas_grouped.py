@@ -473,6 +473,48 @@ def test_v11_duplicate_pids_dense():
         assert len(s1b & s2b) >= len(s1b) - 1, (b, i1[b], i2[b])
 
 
+@pytest.mark.parametrize("metric", ["l2", "ip"])
+@pytest.mark.parametrize("exact", [True, False])
+def test_v11_argsort_placement_matches_v10(metric, exact):
+    """placement="argsort" (the no-bit-budget epilogue for 10M-scale shapes
+    where the packed uint32 sort key overflows): argsort(tgt)[:n] lands the
+    pool in PROBE order — identical placement to the v10 row scatter — so
+    scores AND ids must match v10 EXACTLY (same kernel, same pool order,
+    same _pool_tail), including ghost (size-0) partitions, partial fills,
+    and duplicate pids inside a probe row."""
+    from quake_tpu.ops.pallas_grouped import (
+        grouped_scan_pallas_v10,
+        grouped_scan_pallas_v11,
+    )
+
+    rng = np.random.default_rng(31)
+    P, C, D, B, nprobe, k, qt = 8, 128, 16, 12, 4, 5, 8
+    codes = rng.standard_normal((P, C, D)).astype(np.float32)
+    ids = np.arange(P * C, dtype=np.int32).reshape(P, C)
+    sizes = np.full(P, C, np.int32)
+    sizes[2] = 0          # ghost partition: rows keep slots, values masked
+    sizes[5] = 17         # partial fill
+    for p in range(P):
+        ids[p, sizes[p]:] = -1
+        codes[p, sizes[p]:] = 10.0  # poison
+    norms = (codes ** 2).sum(axis=2)
+    q = rng.standard_normal((B, D)).astype(np.float32)
+    pids = np.stack([rng.permutation(P)[:nprobe] for _ in range(B)]).astype(np.int32)
+    pids[0, 1] = pids[0, 0]  # duplicate probe
+
+    args = (jnp.asarray(codes), jnp.asarray(ids), jnp.asarray(sizes),
+            jnp.asarray(norms), jnp.asarray(q), jnp.asarray(pids), k, metric)
+    s1, i1, n1 = grouped_scan_pallas_v10(
+        *args, qt=qt, gpb=2, interpret=True, exact=exact)
+    s2, i2, n2 = grouped_scan_pallas_v11(
+        *args, qt=qt, gpb=2, interpret=True, exact=exact,
+        placement="argsort")
+    np.testing.assert_array_equal(np.asarray(n1), np.asarray(n2))
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(s2),
+                               rtol=1e-6, atol=1e-6)
+
+
 @pytest.mark.parametrize("variant_name", ["v10", "v11"])
 def test_v10_dedup_spilled(variant_name):
     """v10 (scatter epilogue) / v11 (sorted placement) with dedup:
