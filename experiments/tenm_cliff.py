@@ -62,8 +62,10 @@ def main():
 
     QT, GC = 64, 70  # _grouped_params at B=24576, nlist~4096, C=3712
 
+    # Pass the 4GB store as jit ARGUMENTS: closing over it captures it as
+    # lowering constants (4GB MLIR) and the remote compile never returns.
     @functools.partial(jax.jit, static_argnames=("np_", "k"))
-    def fused(q, np_, k):
+    def fused(codes, ids, sizes, norms, pcodes, pnorms, q, np_, k):
         out = coordinator.fused_ivf_search(
             codes, ids, sizes, norms, pcodes, pids_flat, q,
             k=k, nprobe=np_, metric="l2", qt=QT, group_chunk=GC,
@@ -72,29 +74,29 @@ def main():
         return out[0][:1, :1], out[1][:1, :1]
 
     @functools.partial(jax.jit, static_argnames=("np_", "pk"))
-    def parent(q, np_, pk):
+    def parent(pcodes, pnorms, q, np_, pk):
         pids = coordinator.rank_parents(pcodes, pids_flat, pnorms, q, np_,
                                         "l2", pk)
         return jnp.sum(pids)[None]
 
-    @functools.partial(jax.jit, static_argnames=("np_", "k"))
-    def grouped(q, np_, k):
+    @functools.partial(jax.jit, static_argnames=("k",))
+    def grouped(codes, ids, sizes, norms, q, pr, k):
         out = coordinator.grouped_scan(
-            codes, ids, sizes, norms, q, probe[np_], k, "l2", QT, GC,
+            codes, ids, sizes, norms, q, pr, k, "l2", QT, GC,
             "v11g4", dedup=False, exact=False, dense=True)
         return out[0][:1, :1], out[1][:1, :1]
 
-    @functools.partial(jax.jit, static_argnames=("np_",))
-    def groups(np_):
-        gp, ql, tgt = build_groups_scatter(probe[np_], P, QT)
+    @jax.jit
+    def groups(pr):
+        gp, ql, tgt = build_groups_scatter(pr, P, QT)
         return jnp.sum(gp)[None] + jnp.sum(tgt[:1, :1])[None]
 
     from quake_tpu.ops.pallas_grouped import grouped_scan_pallas_v11
 
-    @functools.partial(jax.jit, static_argnames=("np_", "k"))
-    def grouped_arg(q, np_, k):
+    @functools.partial(jax.jit, static_argnames=("k",))
+    def grouped_arg(codes, ids, sizes, norms, q, pr, k):
         out = grouped_scan_pallas_v11(
-            codes, ids, sizes, norms, q, probe[np_], k, "l2", qt=QT, gpb=4,
+            codes, ids, sizes, norms, q, pr, k, "l2", qt=QT, gpb=4,
             dedup=False, exact=False, placement="argsort")
         return out[0][:1, :1], out[1][:1, :1]
 
@@ -105,38 +107,35 @@ def main():
     probe32 = jax.device_put(
         (base32 + jnp.arange(12, dtype=jnp.int32)[None, :] * 257) % P)
 
-    @jax.jit
-    def grouped32_v10(q):
-        out = coordinator.grouped_scan(
-            codes, ids, sizes, norms, q, probe32, 10, "l2", QT, GC,
-            "v11g4", dedup=False, exact=False, dense=True)
-        return out[0][:1, :1], out[1][:1, :1]
-
-    @jax.jit
-    def grouped32_arg(q):
-        out = grouped_scan_pallas_v11(
-            codes, ids, sizes, norms, q, probe32, 10, "l2", qt=QT, gpb=4,
-            dedup=False, exact=False, placement="argsort")
-        return out[0][:1, :1], out[1][:1, :1]
-
     variants = [
-        ("fused_np12_k10", lambda: fused(q, 12, 10)),
-        ("fused_np13_k10", lambda: fused(q, 13, 10)),
-        ("fused_np13_k9", lambda: fused(q, 13, 9)),
-        ("fused_np16_k10", lambda: fused(q, 16, 10)),
-        ("parent_pallas_np12", lambda: parent(q, 12, "pallas")),
-        ("parent_pallas_np13", lambda: parent(q, 13, "pallas")),
-        ("parent_approx_np12", lambda: parent(q, 12, "approx")),
-        ("parent_approx_np13", lambda: parent(q, 13, "approx")),
-        ("grouped_np12_k10", lambda: grouped(q, 12, 10)),
-        ("grouped_np13_k10", lambda: grouped(q, 13, 10)),
-        ("grouped_np13_k9", lambda: grouped(q, 13, 9)),
-        ("grouped_arg_np12", lambda: grouped_arg(q, 12, 10)),
-        ("grouped_arg_np13", lambda: grouped_arg(q, 13, 10)),
-        ("grouped32_v10_np12", lambda: grouped32_v10(q32)),
-        ("grouped32_arg_np12", lambda: grouped32_arg(q32)),
-        ("groups_np12", lambda: groups(12)),
-        ("groups_np13", lambda: groups(13)),
+        ("fused_np12_k10",
+         lambda: fused(codes, ids, sizes, norms, pcodes, pnorms, q, 12, 10)),
+        ("fused_np13_k10",
+         lambda: fused(codes, ids, sizes, norms, pcodes, pnorms, q, 13, 10)),
+        ("fused_np13_k9",
+         lambda: fused(codes, ids, sizes, norms, pcodes, pnorms, q, 13, 9)),
+        ("fused_np16_k10",
+         lambda: fused(codes, ids, sizes, norms, pcodes, pnorms, q, 16, 10)),
+        ("parent_pallas_np12", lambda: parent(pcodes, pnorms, q, 12, "pallas")),
+        ("parent_pallas_np13", lambda: parent(pcodes, pnorms, q, 13, "pallas")),
+        ("parent_approx_np12", lambda: parent(pcodes, pnorms, q, 12, "approx")),
+        ("parent_approx_np13", lambda: parent(pcodes, pnorms, q, 13, "approx")),
+        ("grouped_np12_k10",
+         lambda: grouped(codes, ids, sizes, norms, q, probe[12], 10)),
+        ("grouped_np13_k10",
+         lambda: grouped(codes, ids, sizes, norms, q, probe[13], 10)),
+        ("grouped_np13_k9",
+         lambda: grouped(codes, ids, sizes, norms, q, probe[13], 9)),
+        ("grouped_arg_np12",
+         lambda: grouped_arg(codes, ids, sizes, norms, q, probe[12], 10)),
+        ("grouped_arg_np13",
+         lambda: grouped_arg(codes, ids, sizes, norms, q, probe[13], 10)),
+        ("grouped32_v10_np12",
+         lambda: grouped(codes, ids, sizes, norms, q32, probe32, 10)),
+        ("grouped32_arg_np12",
+         lambda: grouped_arg(codes, ids, sizes, norms, q32, probe32, 10)),
+        ("groups_np12", lambda: groups(probe[12])),
+        ("groups_np13", lambda: groups(probe[13])),
     ]
 
     import numpy as onp

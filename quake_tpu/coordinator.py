@@ -743,15 +743,18 @@ def grouped_scan(codes, ids, sizes, norms, q, pids, k: int, metric: str,
                     + max((B - 1).bit_length(), 1)) >= 32:
                 # The packed uint32 key overflows at 10M-scale shapes
                 # (P~4096/qt=64 rows need 20 bits, B>=8192 needs 13+).
-                # QUAKE_TPU_V11_OVERFLOW=argsort uses argsort placement
-                # instead of the v10 row scatter (no bit budget; tgt covers
-                # [0, n) exactly once under dense fixed-nprobe, so
-                # argsort(tgt)[:n] IS the row->pair placement). Default
-                # stays v10 pending the same-run A/B (tenm_cliff2).
-                if os.environ.get("QUAKE_TPU_V11_OVERFLOW", "v10") == "argsort":
-                    placement = "argsort"
-                else:
+                # Default is v11 placement="argsort" (no bit budget; tgt
+                # covers [0, n) exactly once under dense fixed-nprobe, so
+                # argsort(tgt)[:n] IS the row->pair placement): the same-run
+                # A/B on the 10M production shape (tenm_cliff, B=24576)
+                # measured argsort 27.5/29.3 ms at np12/np13 vs the v10 row
+                # scatter's 30.7/57.8 — v10 carries a 2x cost cliff past
+                # n=B*nprobe ~300k and doubles again at B=32768 (65.7 vs
+                # 33.5 ms). QUAKE_TPU_V11_OVERFLOW=v10 restores the scatter.
+                if os.environ.get("QUAKE_TPU_V11_OVERFLOW", "argsort") == "v10":
                     name = "v10"
+                else:
+                    placement = "argsort"
         fn = {"v7": grouped_scan_pallas_v7,
               "v8": grouped_scan_pallas_v8,
               "v9": grouped_scan_pallas_v9,

@@ -244,8 +244,9 @@ def test_grouped_scan_budget_dispatch_placement(monkeypatch):
 
 def test_grouped_scan_v11_overflow_dispatch(monkeypatch):
     """When the v11 packed uint32 sort key would overflow (10M-scale
-    shapes), the dense dispatch routes to the v10 row scatter by default
-    and to v11 placement="argsort" under QUAKE_TPU_V11_OVERFLOW=argsort."""
+    shapes), the dense dispatch routes to v11 placement="argsort" by
+    default (tenm_cliff: 2x over the scatter at the 10M shape) and to the
+    v10 row scatter under QUAKE_TPU_V11_OVERFLOW=v10."""
     import quake_tpu.ops.grouped as og
     import quake_tpu.ops.pallas_grouped as pg
     from quake_tpu.coordinator import grouped_scan
@@ -280,13 +281,13 @@ def test_grouped_scan_v11_overflow_dispatch(monkeypatch):
     monkeypatch.delenv("QUAKE_TPU_V11_OVERFLOW", raising=False)
     grouped_scan(codes, ids, sizes, norms, q, pids, k, "l2", 8, 64,
                  "v11g4", dense=True)
-    assert seen["name"] == "v10"
+    assert seen == {"name": "v11", "placement": "argsort"}
 
-    monkeypatch.setenv("QUAKE_TPU_V11_OVERFLOW", "argsort")
+    monkeypatch.setenv("QUAKE_TPU_V11_OVERFLOW", "v10")
     seen.clear()
     grouped_scan(codes, ids, sizes, norms, q, pids, k, "l2", 8, 64,
                  "v11g4", dense=True)
-    assert seen == {"name": "v11", "placement": "argsort"}
+    assert seen["name"] == "v10"
 
     # A fitting key keeps the sorted placement.
     monkeypatch.setattr(og, "group_layout", lambda *a: 8)
