@@ -274,12 +274,12 @@ def run_10m():
     # trend INVERTS — nlist=1024 needs np48 for 0.9 (C=14720 slabs drown
     # the merge) while 4096/np12 lands 0.9003 at 496k QPS vs 2050/np20
     # 353.4k (r4). nlist=8192 never crossed 0.9 by np14.
-    # Serving stack: bf16 + dequantized scores; B=24576 since round 5
-    # (bsweep_10m_b pass-2: 715.3k @ 24576 vs 610.2k @ 16384 vs 493.1k @
-    # 8192 — the per-batch bands keep amortizing at 10M; 32768 regresses
-    # to 452.6k, so 24576 is the knee).
+    # Serving stack: bf16 + dequantized scores; B=32768 since the v11
+    # argsort-overflow default landed (tenm_recert pass-2: 737.1k @ 32768/
+    # np12 vs 709.1k @ 24576 — the old "32768 regresses to 452.6k" knee was
+    # the v10 row-scatter epilogue's cliff, not the batch's; tenm_cliff).
     N, D, NLIST, K = 10_000_000, 128, 4096, 10
-    B = int(os.environ.get("QUAKE_SUITE_B", 24576))
+    B = int(os.environ.get("QUAKE_SUITE_B", 32768))
     x = make_manifold(N, D, 4096, seed=1)
     queries = make_manifold(B, D, 4096, seed=7)
     t0 = time.perf_counter()
