@@ -755,6 +755,10 @@ def grouped_scan(codes, ids, sizes, norms, q, pids, k: int, metric: str,
                     name = "v10"
                 else:
                     placement = "argsort"
+            if os.environ.get("QUAKE_TPU_V11_PLACEMENT") == "argsort":
+                # A/B knob: force argsort placement even where the packed
+                # uint32 key fits (experiments/bsweep_160 placement arm).
+                placement = "argsort"
         fn = {"v7": grouped_scan_pallas_v7,
               "v8": grouped_scan_pallas_v8,
               "v9": grouped_scan_pallas_v9,
