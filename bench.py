@@ -111,11 +111,12 @@ def run_bench():
     # B=16384 does NOT amortize further; round-3: 512/np14 738k vs
     # 1024/np18 476k, nlist_sweep3).
     NLIST = int(os.environ.get("QUAKE_BENCH_NLIST", 160))
-    # BATCH=12288 since round 5 (experiments/bsweep_160): at 160/np9 the
-    # same-run pass-2 curve is 4096: 1009k < 8192: 1185k < 12288: 1214k >
-    # 16384: 1114k — the old "B=8192 plateau / 16384 regresses" verdict was
-    # measured at nlist=256/np12 where the B*nprobe bands were ~40% larger.
-    BATCH = int(os.environ.get("QUAKE_BENCH_BATCH", 12288))
+    # BATCH=16384 since the v11 argsort-overflow default (bsweep_160_argsort
+    # pass-2, same-run: 8192: 1195k < 12288: 1210k < 16384: 1247k > 24576:
+    # 1166k). The earlier "16384 regresses to 1114k" (bsweep_160) rode the
+    # packed-key overflow fallback; at B>=16384 the uint32 key can't fit and
+    # the argsort placement now serves those shapes cliff-free (tenm_cliff).
+    BATCH = int(os.environ.get("QUAKE_BENCH_BATCH", 16384))
     NQ_GT, N_BATCHES = 1024, max(16384 // BATCH, 2)
 
     sift = load_sift1m()
